@@ -1,0 +1,391 @@
+"""Matrix-free quadratic cost engine.
+
+Implements the lifted cost  f(X) = 0.5 <Q, X^T X> + <X, G>  (reference:
+QuadraticProblem.h:30-40, QuadraticProblem.cpp:38-84) without ever forming a
+general sparse matrix. Q is represented by its measurement SoA arrays and
+applied by gather -> batched einsum -> segment-sum, which is the TPU-native
+replacement for the reference's Eigen sparse AᵀΩA construction
+(Graph.cpp:579-683, 824-1188) *and* its SpMV `EucHessianEta`
+(QuadraticProblem.cpp:61-68) at once.
+
+Closed-form per-edge blocks of Q (RA ordering; w = weight,
+kw = w*kappa, tw = w*tau, om = w*precision):
+
+  pose-pose (tail i, head j):                        [Graph.cpp:579-683]
+      Q[rot_i,rot_i] += kw I + tw t tᵀ     Q[rot_i,rot_j] += -kw R
+      Q[rot_j,rot_j] += kw I               Q[rot_i,trn_i] += tw t
+      Q[rot_i,trn_j] += -tw t              Q[trn,trn] Laplacian (+tw)
+  pose-landmark (tail pose i, head landmark j):      [Graph.cpp:988-1031]
+      same tau rows with kw = 0
+  range (tail trans a, head trans b, sphere q, range rho):
+      Q[sph_q,sph_q] += om rho^2           Q[sph_q,trn_a] += -om rho
+      Q[sph_q,trn_b] += om rho             Q[trn,trn] Laplacian (+om)
+                                                     [Graph.cpp:1040-1188]
+
+Applied to the state these give, with s = Y_i t + t_i - t_j (the lifted
+translation residual) and g = rho*s_q + (t_b - t_a):
+
+      (XQ)_rot_i += kw (Y_i - Y_j Rᵀ) + tw s ⊗ t
+      (XQ)_rot_j += kw (Y_j - Y_i R)
+      (XQ)_trn_i += tw s          (XQ)_trn_j -= tw s
+      (XQ)_sph_q += om rho g
+      (XQ)_trn_a -= om g          (XQ)_trn_b += om g
+
+Distributed (agent-local) problems use the *augmented space* formulation:
+fixed neighbor public states are appended as frozen extra variables, so the
+linear term G = X_fixed^T Q_cb (reference: Graph.cpp:1200-1227) is just the
+restriction of the same apply_Q to the local slots -- one code path serves
+the centralized problem, the agent subproblem, and G construction.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from dcora_tpu.core.lifted import RAState
+
+
+class ProblemData(NamedTuple):
+    """Measurement SoA over the augmented index space (local slots first).
+
+    Index spaces:
+      rotation blocks: [0, n_local) local poses, then fixed neighbor poses
+      translations:    [0, n_local) pose trans, [n_local, n_local+b) landmarks,
+                       then fixed neighbor translations (poses & landmarks)
+      spheres:         [0, l_local) local, then fixed neighbor spheres
+    """
+
+    # pose-pose edges
+    pp_ri: jax.Array  # i32[mpp] tail rotation index
+    pp_rj: jax.Array  # i32[mpp] head rotation index
+    pp_ti: jax.Array  # i32[mpp] tail translation index
+    pp_tj: jax.Array  # i32[mpp] head translation index
+    pp_R: jax.Array  # f64[mpp, d, d]
+    pp_t: jax.Array  # f64[mpp, d]
+    pp_kappa: jax.Array  # f64[mpp]
+    pp_tau: jax.Array  # f64[mpp]
+    pp_w: jax.Array  # f64[mpp] robust weight
+    pp_active: jax.Array  # f64[mpp] activity mask (0/1)
+
+    # pose-landmark edges
+    pl_ri: jax.Array  # i32[mpl] tail rotation index
+    pl_ti: jax.Array  # i32[mpl] tail translation index
+    pl_tj: jax.Array  # i32[mpl] head (landmark) translation index
+    pl_t: jax.Array  # f64[mpl, d]
+    pl_tau: jax.Array  # f64[mpl]
+    pl_w: jax.Array  # f64[mpl]
+    pl_active: jax.Array  # f64[mpl]
+
+    # range edges
+    rg_ti: jax.Array  # i32[mrg] tail translation index
+    rg_tj: jax.Array  # i32[mrg] head translation index
+    rg_q: jax.Array  # i32[mrg] sphere index
+    rg_rho: jax.Array  # f64[mrg] measured range
+    rg_prec: jax.Array  # f64[mrg] precision
+    rg_w: jax.Array  # f64[mrg]
+    rg_active: jax.Array  # f64[mrg]
+
+    # linear prior term over LOCAL slots (reference: Graph.cpp:805-817),
+    # rank-independent factorized form: G_prior = -YLift-lifted prior blocks.
+    # Stored at rank of use; zeros when no priors.
+    prior_G: Optional[RAState]
+
+    @property
+    def num_pose_pose(self) -> int:
+        return self.pp_ri.shape[0]
+
+
+def _seg(contrib, idx, num):
+    return jax.ops.segment_sum(contrib, idx, num_segments=num)
+
+
+def apply_Q(P: ProblemData, X: RAState) -> RAState:
+    """W = X Q arranged in the same block layout as X (Q is symmetric).
+
+    Replaces EucHessianEta / EucGrad SpMV (QuadraticProblem.cpp:53-68). X may
+    be the augmented state (local + fixed) or the centralized state.
+    """
+    n_aug = X.rot.shape[0]
+    t_aug = X.trn.shape[0]
+    l_aug = X.sph.shape[0]
+    r = X.rot.shape[1]
+    dtype = X.rot.dtype
+
+    out_rot = jnp.zeros((n_aug, r, X.rot.shape[2]), dtype)
+    out_trn = jnp.zeros((t_aug, r), dtype)
+    out_sph = jnp.zeros((l_aug, r), dtype)
+
+    # ---- pose-pose ----
+    if P.pp_ri.shape[0] > 0:
+        kw = P.pp_kappa * P.pp_w * P.pp_active
+        tw = P.pp_tau * P.pp_w * P.pp_active
+        Yi = X.rot[P.pp_ri]  # [m, r, d]
+        Yj = X.rot[P.pp_rj]
+        ti = X.trn[P.pp_ti]  # [m, r]
+        tj = X.trn[P.pp_tj]
+        # s = Y_i t + t_i - t_j
+        s = jnp.einsum("mrd,md->mr", Yi, P.pp_t) + ti - tj
+        c_ri = kw[:, None, None] * (
+            Yi - jnp.einsum("mre,mde->mrd", Yj, P.pp_R)
+        ) + tw[:, None, None] * jnp.einsum("mr,md->mrd", s, P.pp_t)
+        c_rj = kw[:, None, None] * (
+            Yj - jnp.einsum("mre,med->mrd", Yi, P.pp_R)
+        )
+        out_rot = out_rot + _seg(
+            jnp.concatenate([c_ri, c_rj]),
+            jnp.concatenate([P.pp_ri, P.pp_rj]),
+            n_aug,
+        )
+        tws = tw[:, None] * s
+        out_trn = out_trn + _seg(
+            jnp.concatenate([tws, -tws]),
+            jnp.concatenate([P.pp_ti, P.pp_tj]),
+            t_aug,
+        )
+
+    # ---- pose-landmark ----
+    if P.pl_ri.shape[0] > 0:
+        tw = P.pl_tau * P.pl_w * P.pl_active
+        Yi = X.rot[P.pl_ri]
+        ti = X.trn[P.pl_ti]
+        tj = X.trn[P.pl_tj]
+        s = jnp.einsum("mrd,md->mr", Yi, P.pl_t) + ti - tj
+        out_rot = out_rot + _seg(
+            tw[:, None, None] * jnp.einsum("mr,md->mrd", s, P.pl_t),
+            P.pl_ri,
+            n_aug,
+        )
+        tws = tw[:, None] * s
+        out_trn = out_trn + _seg(
+            jnp.concatenate([tws, -tws]),
+            jnp.concatenate([P.pl_ti, P.pl_tj]),
+            t_aug,
+        )
+
+    # ---- ranges ----
+    if P.rg_ti.shape[0] > 0:
+        om = P.rg_prec * P.rg_w * P.rg_active
+        ta = X.trn[P.rg_ti]
+        tb = X.trn[P.rg_tj]
+        sq = X.sph[P.rg_q]
+        g = P.rg_rho[:, None] * sq + tb - ta
+        out_sph = out_sph + _seg(
+            (om * P.rg_rho)[:, None] * g, P.rg_q, l_aug
+        )
+        omg = om[:, None] * g
+        out_trn = out_trn + _seg(
+            jnp.concatenate([-omg, omg]),
+            jnp.concatenate([P.rg_ti, P.rg_tj]),
+            t_aug,
+        )
+
+    return RAState(rot=out_rot, sph=out_sph, trn=out_trn)
+
+
+def augment(X_local: RAState, X_fixed: Optional[RAState]) -> RAState:
+    """Concatenate local and fixed-neighbor states into the augmented space."""
+    if X_fixed is None:
+        return X_local
+    return RAState(
+        rot=jnp.concatenate([X_local.rot, X_fixed.rot]),
+        sph=jnp.concatenate([X_local.sph, X_fixed.sph]),
+        trn=jnp.concatenate([X_local.trn, X_fixed.trn]),
+    )
+
+
+def restrict(X_aug: RAState, n: int, l: int, num_trans: int) -> RAState:  # noqa: E741
+    """Slice the local block out of an augmented state."""
+    return RAState(
+        rot=X_aug.rot[:n], sph=X_aug.sph[:l], trn=X_aug.trn[:num_trans]
+    )
+
+
+def zeros_like_fixed(X_fixed: Optional[RAState]):
+    if X_fixed is None:
+        return None
+    return jax.tree.map(jnp.zeros_like, X_fixed)
+
+
+def linear_term(P: ProblemData, X_fixed: Optional[RAState],
+                n: int, l: int, num_trans: int) -> RAState:  # noqa: E741
+    """G = X_fixed^T Q_cb restricted to local slots, plus prior term.
+
+    reference: constructLinearCostTermPGO/RASLAM (Graph.cpp:685-822,
+    1190-1772) -- here a single apply_Q of the fixed-only state.
+    X_fixed rank must match the working rank.
+    """
+    if X_fixed is not None:
+        zeros_local = RAState(
+            rot=jnp.zeros((n, X_fixed.rot.shape[1], X_fixed.rot.shape[2]),
+                          X_fixed.rot.dtype),
+            sph=jnp.zeros((l, X_fixed.sph.shape[1]), X_fixed.sph.dtype),
+            trn=jnp.zeros((num_trans, X_fixed.trn.shape[1]),
+                          X_fixed.trn.dtype),
+        )
+        G = restrict(apply_Q(P, augment(zeros_local, X_fixed)), n, l, num_trans)
+    else:
+        G = None
+    if P.prior_G is not None:
+        G = P.prior_G if G is None else G + P.prior_G
+    return G
+
+
+def cost(P: ProblemData, X: RAState, G: Optional[RAState] = None):
+    """f(X) = 0.5 <XQ, X> + <X, G> (reference: QuadraticProblem.cpp:38-51).
+
+    X is the LOCAL state when G is given (distributed subproblem), or the
+    full/centralized state with G=None.
+    """
+    f = 0.5 * apply_Q(P, X).vdot(X)
+    if G is not None:
+        f = f + X.vdot(G)
+    return f
+
+
+def euclidean_gradient(P: ProblemData, X: RAState,
+                       G: Optional[RAState] = None) -> RAState:
+    """XQ + G (reference: QuadraticProblem.cpp:53-59)."""
+    W = apply_Q(P, X)
+    return W if G is None else W + G
+
+
+def hessian_vec(P: ProblemData, V: RAState) -> RAState:
+    """V Q (reference: QuadraticProblem.cpp:61-68)."""
+    return apply_Q(P, V)
+
+
+# --------------------------------------------------------------------------
+# Block-Jacobi preconditioner (TPU-native replacement for the reference's
+# CHOLMOD Cholesky preconditioner, Graph.cpp:1901-1960 /
+# QuadraticProblem.cpp:70-84): per-pose (d+1)x(d+1) diagonal blocks of Q in
+# the SE-interleaved basis, scalar diagonals for spheres and landmarks.
+# --------------------------------------------------------------------------
+
+
+class Preconditioner(NamedTuple):
+    pose_chol: jax.Array  # f64[n, d+1, d+1] lower-Cholesky factors
+    sph_diag: jax.Array  # f64[l]
+    lmk_diag: jax.Array  # f64[b]
+
+
+def build_preconditioner(P: ProblemData, n: int, l: int, b: int,  # noqa: E741
+                         d: int, reg) -> Preconditioner:
+    """Assemble and factor the block-diagonal of Q restricted to local slots.
+
+    reg is the regularization term (reference rule: 1e-1 for PGO,
+    lambda_max/(1e6-1) for RA-SLAM; Graph.cpp:1901-1960).
+    """
+    dh = d + 1
+    blocks = jnp.zeros((n, dh, dh))
+    lmk = jnp.zeros((b,))
+    sph = jnp.zeros((l,))
+    num_trans = n + b
+
+    if P.pp_ri.shape[0] > 0:
+        kw = P.pp_kappa * P.pp_w * P.pp_active
+        tw = P.pp_tau * P.pp_w * P.pp_active
+        t = P.pp_t
+        # tail block: [[kw I + tw t tᵀ, tw t], [tw tᵀ, tw]]
+        tail = jnp.zeros((t.shape[0], dh, dh))
+        tail = tail.at[:, :d, :d].set(
+            kw[:, None, None] * jnp.eye(d)
+            + tw[:, None, None] * jnp.einsum("md,me->mde", t, t)
+        )
+        tail = tail.at[:, :d, d].set(tw[:, None] * t)
+        tail = tail.at[:, d, :d].set(tw[:, None] * t)
+        tail = tail.at[:, d, d].set(tw)
+        # head block: [[kw I, 0], [0, tw]]
+        head = jnp.zeros((t.shape[0], dh, dh))
+        head = head.at[:, :d, :d].set(kw[:, None, None] * jnp.eye(d))
+        head = head.at[:, d, d].set(tw)
+        # scatter only into local pose slots (indices >= n drop out)
+        contrib = jnp.concatenate([tail, head])
+        idx = jnp.concatenate([P.pp_ri, P.pp_rj])
+        idx = jnp.where(idx < n, idx, n)  # park fixed slots on a dump row
+        blocks = blocks + _seg(contrib, idx, n + 1)[:n]
+
+    if P.pl_ri.shape[0] > 0:
+        tw = P.pl_tau * P.pl_w * P.pl_active
+        t = P.pl_t
+        tail = jnp.zeros((t.shape[0], dh, dh))
+        tail = tail.at[:, :d, :d].set(
+            tw[:, None, None] * jnp.einsum("md,me->mde", t, t)
+        )
+        tail = tail.at[:, :d, d].set(tw[:, None] * t)
+        tail = tail.at[:, d, :d].set(tw[:, None] * t)
+        tail = tail.at[:, d, d].set(tw)
+        idx = jnp.where(P.pl_ri < n, P.pl_ri, n)
+        blocks = blocks + _seg(tail, idx, n + 1)[:n]
+        # landmark head diagonal
+        jidx = P.pl_tj - n
+        jidx = jnp.where((jidx >= 0) & (jidx < b), jidx, b)
+        lmk = lmk + _seg(tw, jidx, b + 1)[:b]
+
+    if P.rg_ti.shape[0] > 0:
+        om = P.rg_prec * P.rg_w * P.rg_active
+        qidx = jnp.where(P.rg_q < l, P.rg_q, l)
+        sph = sph + _seg(om * P.rg_rho**2, qidx, l + 1)[:l]
+        # translation diagonals (pose trans go into pose blocks' (d,d) entry)
+        for tidx in (P.rg_ti, P.rg_tj):
+            pose_idx = jnp.where(tidx < n, tidx, n)
+            pose_add = _seg(om, pose_idx, n + 1)[:n]
+            blocks = blocks.at[:, d, d].add(pose_add)
+            lm = tidx - n
+            lm = jnp.where((lm >= 0) & (lm < b), lm, b)
+            lmk = lmk + _seg(om, lm, b + 1)[:b]
+
+    blocks = blocks + reg * jnp.eye(dh)
+    chol = jnp.linalg.cholesky(blocks)
+    return Preconditioner(
+        pose_chol=chol, sph_diag=sph + reg, lmk_diag=lmk + reg
+    )
+
+
+def apply_preconditioner(M: Preconditioner, V: RAState) -> RAState:
+    """Solve the block-diagonal system (reference: QuadraticProblem.cpp:70-84).
+
+    Tangent projection is applied by the caller (as in the reference).
+    """
+    n = M.pose_chol.shape[0]
+    b = M.lmk_diag.shape[0]
+    # pack pose blocks [n, r, d+1]
+    pose_v = jnp.concatenate([V.rot, V.trn[:n, :, None]], axis=2)
+    # solve D_i X = v -> X = cho_solve; operating on the right: rows are r.
+    sol = jax.scipy.linalg.cho_solve(
+        (M.pose_chol, True), jnp.swapaxes(pose_v, 1, 2)
+    )  # [n, d+1, r]
+    sol = jnp.swapaxes(sol, 1, 2)
+    rot = sol[:, :, :-1]
+    trn_pose = sol[:, :, -1]
+    trn_lmk = V.trn[n:] / M.lmk_diag[:, None] if b else V.trn[n:]
+    sph = V.sph / jnp.where(M.sph_diag == 0, 1.0, M.sph_diag)[:, None]
+    return RAState(
+        rot=rot, sph=sph, trn=jnp.concatenate([trn_pose, trn_lmk])
+    )
+
+
+def power_iteration_lambda_max(P: ProblemData, dims_probe: RAState,
+                               iters: int = 50) -> jax.Array:
+    """Estimate lambda_max(Q) by power iteration on apply_Q.
+
+    Replaces the Spectra largest-eigenvalue solve used for RA-SLAM
+    preconditioner regularization (Graph.cpp:1919-1960). dims_probe provides
+    the shape/dtype of a state with r=1.
+    """
+    v0 = jax.tree.map(jnp.ones_like, dims_probe)
+    nrm0 = v0.norm()
+    v0 = v0.scale(1.0 / jnp.where(nrm0 == 0, 1.0, nrm0))
+
+    def body(carry, _):
+        v, lam = carry
+        w = apply_Q(P, v)
+        nrm = w.norm()
+        lam = nrm
+        w = w.scale(1.0 / jnp.where(nrm == 0, 1.0, nrm))
+        return (w, lam), None
+
+    (v, lam), _ = jax.lax.scan(body, (v0, jnp.zeros(())), None, length=iters)
+    return lam
