@@ -1,0 +1,288 @@
+"""Optimality certification: dual certificate, Lanczos min-eig, saddle escape.
+
+Replaces the reference's CHOLMOD PSD check + Spectra eigensolvers
+(DCORA_utils.cpp:1713-1982) with a matrix-free Lanczos (full
+reorthogonalization) over the S = Q - Lambda(X) operator, following the
+SE-Sync v1.0 spectrum-shifting strategy the reference adopts
+(DCORA_utils.cpp:1807-1896):
+
+  1. lambda_lm <- largest-magnitude eigenvalue of S. If negative, it IS the
+     minimum eigenvalue: return it.
+  2. Otherwise run Lanczos on C = S - 2*lambda_lm*I (all eigenvalues
+     negative); its largest-magnitude eigenvalue + 2*lambda_lm is
+     lambda_min(S).
+
+Also implements the saddle-escape backtracking line search
+(QuadraticProblem.cpp:138-234, SE-Sync / Algorithm 7 of the DC2-PGO report)
+and the rank-d solution rounding (CORA Alg. 3, DCORA_utils.cpp:1984-2031).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dcora_tpu.core import lifted, problem as prob
+from dcora_tpu.core.lifted import RAState
+from dcora_tpu.core.manifold import (
+    oblique_project,
+    retract,
+    rotation_project,
+    tangent_project,
+)
+from dcora_tpu.core.problem import ProblemData
+from dcora_tpu.types import ProblemDims
+
+
+class Certificate(NamedTuple):
+    """Lambda(X) blocks of the dual certificate S = Q - Lambda."""
+
+    rot_blocks: jax.Array  # [n, d, d] symmetric Stiefel multipliers
+    sph_diag: jax.Array  # [l] oblique multipliers
+
+
+def dual_certificate_blocks(P: ProblemData, X: RAState) -> Certificate:
+    """Lambda blocks (reference: constructDualCertificateMatrixPGO/RASLAM,
+    DCORA_utils.cpp:1898-1982). In the RA basis the PGO and RA formulas
+    coincide: d x d symmetric blocks on rotations, scalars on spheres."""
+    W = prob.apply_Q(P, X)
+    Prot = jnp.einsum("nri,nrj->nij", W.rot, X.rot)
+    rot_blocks = 0.5 * (Prot + jnp.swapaxes(Prot, 1, 2))
+    sph_diag = jnp.sum(X.sph * W.sph, axis=-1)
+    return Certificate(rot_blocks=rot_blocks, sph_diag=sph_diag)
+
+
+def apply_S(P: ProblemData, C: Certificate, V: RAState) -> RAState:
+    """V S = V Q - V Lambda."""
+    W = prob.apply_Q(P, V)
+    return RAState(
+        rot=W.rot - jnp.einsum("nrd,nde->nre", V.rot, C.rot_blocks),
+        sph=W.sph - V.sph * C.sph_diag[:, None],
+        trn=W.trn,
+    )
+
+
+# --------------------------------------------------------------------------
+# Matrix-free Lanczos with full reorthogonalization (flat-vector interface).
+# --------------------------------------------------------------------------
+
+
+def _flat_matvec(P: ProblemData, C: Certificate, dims: ProblemDims, shift):
+    def mv(v):  # v: [k]
+        V = lifted.from_flat(v[None, :], dims)
+        W = apply_S(P, C, V)
+        return lifted.to_flat(W)[0] + shift * v
+
+    return mv
+
+
+@partial(jax.jit, static_argnames=("dims", "m"))
+def _lanczos_extreme(P: ProblemData, C: Certificate, dims: ProblemDims,
+                     shift, v0, m: int):
+    """Largest-magnitude Ritz pair of (S + shift*I) after m Lanczos steps.
+
+    Full reorthogonalization keeps the basis numerically orthogonal, which
+    is what lets near-zero minimum eigenvalues converge (the failure mode
+    the reference works around with its shift-and-invert fallback,
+    DCORA_utils.cpp:1749-1805).
+    """
+    k = dims.k
+    mv = _flat_matvec(P, C, dims, shift)
+
+    basis = jnp.zeros((m, k))
+    alphas = jnp.zeros((m,))
+    betas = jnp.zeros((m,))
+
+    v = v0 / jnp.linalg.norm(v0)
+
+    def body(j, carry):
+        basis, alphas, betas, v = carry
+        basis = basis.at[j].set(v)
+        w = mv(v)
+        a = jnp.vdot(v, w)
+        alphas = alphas.at[j].set(a)
+        # full reorthogonalization (two passes)
+        for _ in range(2):
+            w = w - basis.T @ (basis @ w)
+        b = jnp.linalg.norm(w)
+        betas = betas.at[j].set(b)
+        # lucky breakdown: restart with a deterministic pseudo-random
+        # direction orthogonal to the current basis
+        fresh = jax.random.normal(jax.random.fold_in(
+            jax.random.PRNGKey(0), j), (k,))
+        for _ in range(2):
+            fresh = fresh - basis.T @ (basis @ fresh)
+        fresh = fresh / jnp.maximum(jnp.linalg.norm(fresh), 1e-300)
+        v_next = jnp.where(b > 1e-12, w / jnp.where(b == 0, 1.0, b), fresh)
+        return basis, alphas, betas, v_next
+
+    basis, alphas, betas, _ = jax.lax.fori_loop(
+        0, m, body, (basis, alphas, betas, v)
+    )
+
+    T = (
+        jnp.diag(alphas)
+        + jnp.diag(betas[:-1], 1)
+        + jnp.diag(betas[:-1], -1)
+    )
+    evals, evecs = jnp.linalg.eigh(T)
+    idx = jnp.argmax(jnp.abs(evals))
+    theta = evals[idx]
+    y = basis.T @ evecs[:, idx]
+    resid = jnp.abs(betas[m - 1] * evecs[m - 1, idx])
+    return theta, y, resid
+
+
+def minimum_eigen_pair(P: ProblemData, C: Certificate, dims: ProblemDims,
+                       num_lanczos: int = 64,
+                       v0: Optional[np.ndarray] = None
+                       ) -> Tuple[float, np.ndarray, float]:
+    """(lambda_min, eigvec, residual) of S via spectrum shifting."""
+    m = min(num_lanczos, dims.k)
+    if v0 is None:
+        rng = np.random.default_rng(0)
+        v0 = rng.standard_normal(dims.k)
+    v0 = jnp.asarray(v0)
+
+    lam_lm, y_lm, res_lm = _lanczos_extreme(
+        P, C, dims, jnp.zeros(()), v0, m
+    )
+    lam_lm_f = float(lam_lm)
+    if lam_lm_f < 0:
+        return lam_lm_f, np.asarray(y_lm), float(res_lm)
+
+    # shift: C2 = S - 2 lambda_lm I has all eigenvalues negative; its
+    # largest-magnitude eigenvalue is lambda_min(S) - 2 lambda_lm.
+    # v0 heuristic: perturbed S e0 row (reference: DCORA_utils.cpp:1861-1866)
+    e0 = jnp.zeros(dims.k).at[0].set(1.0)
+    row0 = _flat_matvec(P, C, dims, 0.0)(e0)
+    rng = np.random.default_rng(1)
+    pert = rng.standard_normal(dims.k)
+    pert /= np.linalg.norm(pert)
+    v0s = row0 + 0.03 * jnp.linalg.norm(row0) * jnp.asarray(pert)
+    if float(jnp.linalg.norm(v0s)) < 1e-12:
+        v0s = jnp.asarray(rng.standard_normal(dims.k))
+
+    lam_s, y_s, res_s = _lanczos_extreme(
+        P, C, dims, -2.0 * lam_lm, v0s, m
+    )
+    return float(lam_s + 2.0 * lam_lm), np.asarray(y_s), float(res_s)
+
+
+def fast_verification(P: ProblemData, X: RAState, eta: float,
+                      num_lanczos: int = 64):
+    """Check S + eta*I >= 0 (reference: fastVerification,
+    DCORA_utils.cpp:1713-1735).
+
+    Returns (is_psd, theta, min_eigenvector) where theta = v^T S v for the
+    estimated minimum eigenvector (0, None when certified).
+    """
+    C = dual_certificate_blocks(P, X)
+    dims = X.dims
+    lam_min, v, resid = minimum_eigen_pair(P, C, dims, num_lanczos)
+    # is S + eta I PSD?  <=>  lam_min(S) >= -eta
+    if lam_min + eta >= 0:
+        return True, 0.0, None
+    # curvature along the estimated eigenvector w.r.t. S itself
+    vj = jnp.asarray(v)
+    Sv = _flat_matvec(P, C, dims, 0.0)(vj)
+    theta = float(jnp.vdot(vj, Sv))
+    return False, theta, v
+
+
+# --------------------------------------------------------------------------
+# Saddle escape (reference: QuadraticProblem.cpp:138-234)
+# --------------------------------------------------------------------------
+
+
+def escape_saddle(P: ProblemData, X_opt: RAState, theta: float,
+                  v: np.ndarray, r_target: int,
+                  gradient_tolerance: float = 1e-6,
+                  preconditioned_gradient_tolerance: float = 1e-6,
+                  M=None, is_second_order: bool = False
+                  ) -> Tuple[bool, Optional[RAState]]:
+    """Lift a rank-(r-1) critical point and descend along the min-eig
+    direction with a backtracking retraction line search."""
+    dims = X_opt.dims
+    r_prev = X_opt.r
+    assert r_target == r_prev + 1
+    X_plus = lifted.pad_rank(X_opt, r_target)
+    # escape direction: min eigenvector on the NEW bottom row
+    Vdir_flat = jnp.zeros((r_target, dims.k)).at[r_target - 1].set(
+        jnp.asarray(v)
+    )
+    X_dot = lifted.from_flat(Vdir_flat, dims)
+
+    G = lifted.zeros(dims, r_target)
+
+    def f(Xs):
+        return float(prob.cost(P, Xs, G))
+
+    def rgradnorm(Xs):
+        g = tangent_project(Xs, prob.euclidean_gradient(P, Xs, G))
+        return float(g.norm()), g
+
+    alpha_min = 1e-6
+    alpha = (max(16 * alpha_min, 100 * gradient_tolerance / abs(theta))
+             if is_second_order else 1.0)
+
+    fX_plus = f(X_plus)
+    alphas, fvals = [], []
+    while alpha >= alpha_min:
+        Xtest = retract(X_plus, X_dot.scale(alpha))
+        ftest = f(Xtest)
+        gnorm, g = rgradnorm(Xtest)
+        if M is not None:
+            pg = tangent_project(Xtest, prob.apply_preconditioner(M, g))
+            pgnorm = float(pg.norm())
+        else:
+            pgnorm = gnorm
+        alphas.append(alpha)
+        fvals.append(ftest)
+        if (ftest < fX_plus and gnorm > gradient_tolerance
+                and pgnorm > preconditioned_gradient_tolerance):
+            return True, Xtest
+        alpha /= 2
+    # fall back to the best strictly-decreasing trial point
+    i_min = int(np.argmin(fvals))
+    if fvals[i_min] < fX_plus:
+        return True, retract(X_plus, X_dot.scale(alphas[i_min]))
+    return False, None
+
+
+# --------------------------------------------------------------------------
+# Solution rounding (reference: projectSolutionRASLAM,
+# DCORA_utils.cpp:1984-2031, CORA Alg. 3)
+# --------------------------------------------------------------------------
+
+
+def round_solution(X: RAState) -> RAState:
+    """Round a rank-r solution to rank d: thin SVD of X^T, det-majority
+    reflection, project rotations to SO(d) and spheres to the unit sphere."""
+    dims = X.dims
+    d = dims.d
+    Xflat = lifted.to_flat(X)  # [r, k]
+    U, s, Vt = jnp.linalg.svd(Xflat.T, full_matrices=False)
+    Xd_flat = (U[:, :d] * s[:d]).T  # [d, k]
+    Xd = lifted.from_flat(Xd_flat, dims)
+    # reflect if fewer than half of the rotation blocks have positive det
+    dets = jnp.linalg.det(Xd.rot)
+    num_pos = jnp.sum(dets > 0)
+    refl = jnp.where(num_pos < dims.n / 2.0, -1.0, 1.0)
+    R = jnp.eye(d).at[d - 1, d - 1].set(refl)
+    # left-multiply every column block by R (acting on the rank dims)
+    # R acts on the rank (row) dimension of every column block
+    Xd = RAState(
+        rot=jnp.einsum("ij,njc->nic", R, Xd.rot),
+        sph=jnp.einsum("ij,lj->li", R, Xd.sph),
+        trn=jnp.einsum("ij,tj->ti", R, Xd.trn),
+    )
+    return RAState(
+        rot=rotation_project(Xd.rot),
+        sph=oblique_project(Xd.sph),
+        trn=Xd.trn,
+    )

@@ -1,0 +1,279 @@
+"""Batch solvers: local PGO, averaging, and entry points.
+
+Mirrors the reference's DCORA_solver.cpp surface (solvePGO, solveRobustPGO,
+single/robust rotation & pose averaging, chordal/odometry initialization
+re-exports) on top of the JAX engine.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from dcora_tpu.core import lifted, problem as prob
+from dcora_tpu.core.graph import LocalGraph
+from dcora_tpu.core.init import chordal_initialization, odometry_initialization
+from dcora_tpu.core.lifted import RAState
+from dcora_tpu.core.rtr import RTRConfig, rtr
+from dcora_tpu.measurements import RelativePosePoseMeasurement
+from dcora_tpu.types import GraphType, ROptParameters, RobustCostParameters
+
+
+def _zero_G(dims, r):
+    return lifted.zeros(dims, r)
+
+
+def rtr_config_from_params(params: ROptParameters,
+                           single_step: bool = False) -> RTRConfig:
+    return RTRConfig(
+        gradnorm_tol=params.gradnorm_tol,
+        max_outer=params.RTR_iterations,
+        max_inner=params.RTR_tCG_iterations,
+        initial_radius=params.RTR_initial_radius,
+        single_accepted_step=single_step,
+    )
+
+
+def build_pgo_graph(measurements: List[RelativePosePoseMeasurement],
+                    r: Optional[int] = None) -> LocalGraph:
+    d = measurements[0].t.shape[0]
+    robot = measurements[0].r1
+    g = LocalGraph(robot, r if r is not None else d, d, GraphType.PoseGraph)
+    g.set_measurements(measurements)
+    return g
+
+
+def make_preconditioner(g: LocalGraph, P: prob.ProblemData):
+    """Reference regularization rule: 1e-1 for PGO, lambda_max/(1e6-1) for
+    RA-SLAM (Graph.cpp:1901-1960)."""
+    if g.is_pgo_compatible():
+        reg = 1e-1
+    else:
+        probe = lifted.zeros(g.dims, 1)
+        lam = prob.power_iteration_lambda_max(P, probe)
+        reg = float(lam) / (1e6 - 1.0)
+    return prob.build_preconditioner(P, g.n, g.l, g.b, g.d, reg)
+
+
+def solve_pgo(measurements: List[RelativePosePoseMeasurement],
+              params: Optional[ROptParameters] = None,
+              T0: Optional[np.ndarray] = None) -> np.ndarray:
+    """Single-robot rank-d PGO (reference: DCORA_solver.cpp:304-330).
+
+    Returns the optimized trajectory [n, d, d+1].
+    """
+    params = params or ROptParameters()
+    d = measurements[0].t.shape[0]
+    T = T0 if T0 is not None else chordal_initialization(measurements)
+    g = build_pgo_graph(measurements, r=d)
+    P = g.problem_data()
+    M = make_preconditioner(g, P)
+    X0 = lifted.from_pose_array(T)
+    cfg = rtr_config_from_params(params)
+    G = _zero_G(g.dims, d)
+    res = rtr(P, G, M, X0, cfg)
+    X = res.X
+    out = np.zeros((g.n, d, d + 1))
+    out[:, :, :d] = np.asarray(X.rot)
+    out[:, :, d] = np.asarray(X.trn)
+    return out
+
+
+# --- averaging (reference: DCORA_solver.cpp:30-216) -------------------------
+
+
+def single_translation_averaging(tVec: List[np.ndarray],
+                                 tau: Optional[np.ndarray] = None
+                                 ) -> np.ndarray:
+    t = np.stack(tVec)
+    w = np.ones(len(tVec)) if tau is None else np.asarray(tau)
+    return (w[:, None] * t).sum(0) / w.sum()
+
+
+def single_rotation_averaging(RVec: List[np.ndarray],
+                              kappa: Optional[np.ndarray] = None
+                              ) -> np.ndarray:
+    from dcora_tpu.core.manifold import rotation_project
+
+    R = np.stack(RVec)
+    w = np.ones(len(RVec)) if kappa is None else np.asarray(kappa)
+    M = (w[:, None, None] * R).sum(0)
+    return np.asarray(rotation_project(jnp.asarray(M)))
+
+
+def single_pose_averaging(RVec, tVec, kappa=None, tau=None):
+    return (single_rotation_averaging(RVec, kappa),
+            single_translation_averaging(tVec, tau))
+
+
+def _gnc_averaging_loop(update_fn, residual_fn, n, barc, kappa_like):
+    """Shared GNC-TLS loop for robust averaging
+    (reference: DCORA_solver.cpp:76-216)."""
+    from dcora_tpu.core.robust import RobustCost
+
+    w_tol = 1e-8
+    weights = np.ones(n)
+    est = update_fn(weights)
+    rsq = residual_fn(est)
+    barc_sq = barc * barc
+    mu_init = barc_sq / (2 * rsq.max() - barc_sq)
+    mu_init = min(mu_init, 1e-5)
+    if mu_init > 0:
+        params = RobustCostParameters(
+            costType=__import__(
+                "dcora_tpu.types", fromlist=["RobustCostType"]
+            ).RobustCostType.GNC_TLS,
+            GNCBarc=barc,
+            GNCMaxNumIters=1000,
+            GNCInitMu=mu_init,
+        )
+        cost = RobustCost(params)
+        for _ in range(params.GNCMaxNumIters):
+            est = update_fn(weights)
+            rsq = residual_fn(est)
+            w = cost.weight(np.sqrt(rsq))
+            weights = w
+            nc = np.sum((w < w_tol) | (w > 1 - w_tol))
+            if nc == n:
+                break
+            cost.update()
+    inliers = [i for i in range(n) if weights[i] > 1 - w_tol]
+    return est, inliers, weights
+
+
+def robust_single_rotation_averaging(RVec: List[np.ndarray],
+                                     kappa: Optional[np.ndarray] = None,
+                                     error_threshold: float = 1.0):
+    """GNC-TLS robust rotation averaging
+    (reference: DCORA_solver.cpp:76-134). Returns (ROpt, inlier_indices)."""
+    n = len(RVec)
+    kap = np.ones(n) if kappa is None else np.asarray(kappa)
+    R = np.stack(RVec)
+
+    def update(weights):
+        return single_rotation_averaging(RVec, kap * weights)
+
+    def residual(ROpt):
+        return kap * ((ROpt[None] - R) ** 2).sum(axis=(1, 2))
+
+    est, inliers, _ = _gnc_averaging_loop(
+        update, residual, n, error_threshold, kap
+    )
+    return est, inliers
+
+
+def robust_single_pose_averaging(RVec, tVec, kappa=None, tau=None,
+                                 error_threshold: float = 1.0):
+    """GNC-TLS robust pose averaging (reference: DCORA_solver.cpp:136-216)."""
+    n = len(RVec)
+    kap = 10000 * np.ones(n) if kappa is None else np.asarray(kappa)
+    ta = 100 * np.ones(n) if tau is None else np.asarray(tau)
+    R = np.stack(RVec)
+    t = np.stack(tVec)
+
+    def update(weights):
+        return single_pose_averaging(RVec, tVec, kap * weights, ta * weights)
+
+    def residual(est):
+        ROpt, tOpt = est
+        return (kap * ((ROpt[None] - R) ** 2).sum(axis=(1, 2))
+                + ta * ((tOpt[None] - t) ** 2).sum(axis=1))
+
+    est, inliers, _ = _gnc_averaging_loop(
+        update, residual, n, error_threshold, kap
+    )
+    return est[0], est[1], inliers
+
+
+def compute_measurement_error(m: RelativePosePoseMeasurement,
+                              R1, t1, R2, t2) -> float:
+    """kappa*||R1 R_m - R2||^2 + tau*||t2 - t1 - R1 t_m||^2
+    (reference: DCORA_utils.cpp:2095-2101)."""
+    rot_err = float(((R1 @ m.R - R2) ** 2).sum())
+    tr_err = float(((t2 - t1 - R1 @ m.t) ** 2).sum())
+    return m.kappa * rot_err + m.tau * tr_err
+
+
+@dataclasses.dataclass
+class SolveRobustPGOParams:
+    """reference: DCORA_solver.h solveRobustPGOParams."""
+
+    opt_params: ROptParameters = dataclasses.field(
+        default_factory=lambda: ROptParameters(
+            gradnorm_tol=1.0, RTR_iterations=20
+        )
+    )
+    robust_params: RobustCostParameters = dataclasses.field(
+        default_factory=RobustCostParameters
+    )
+    verbose: bool = False
+
+
+def solve_robust_pgo(measurements: List[RelativePosePoseMeasurement],
+                     params: Optional[SolveRobustPGOParams] = None,
+                     T0: Optional[np.ndarray] = None) -> np.ndarray:
+    """GNC outer loop around solve_pgo, mutating measurement weights in
+    place (reference: DCORA_solver.cpp:332-409)."""
+    from dcora_tpu.core.robust import RobustCost
+    from dcora_tpu.types import RobustCostType
+
+    params = params or SolveRobustPGOParams()
+    w_tol = 1e-8
+    T = solve_pgo(measurements, params.opt_params, T0)
+
+    def residuals(T):
+        rs = np.zeros(len(measurements))
+        for i, m in enumerate(measurements):
+            rs[i] = compute_measurement_error(
+                m, T[m.p1, :, :-1], T[m.p1, :, -1],
+                T[m.p2, :, :-1], T[m.p2, :, -1],
+            )
+        return rs
+
+    for m in measurements:
+        m.weight = 1.0
+    rsq = residuals(T)
+    barc = params.robust_params.GNCBarc
+    barc_sq = barc * barc
+    mu_init = barc_sq / (2 * rsq.max() - barc_sq)
+    gnc_params = dataclasses.replace(
+        params.robust_params, GNCInitMu=mu_init,
+        costType=RobustCostType.GNC_TLS,
+    )
+    if mu_init > 0:
+        cost = RobustCost(gnc_params)
+        for it in range(gnc_params.GNCMaxNumIters):
+            T = solve_pgo(measurements, params.opt_params, T0)
+            rsq = residuals(T)
+            num_undecided = 0
+            for i, m in enumerate(measurements):
+                if m.fixedWeight:
+                    continue
+                m.weight = float(cost.weight(np.sqrt(rsq[i])))
+                if w_tol <= m.weight <= 1 - w_tol:
+                    num_undecided += 1
+            if params.verbose:
+                print(f"[solve_robust_pgo] iter {it}: "
+                      f"{num_undecided} undecided")
+            if num_undecided == 0:
+                break
+            cost.update()
+    return solve_pgo(measurements, params.opt_params, T0)
+
+
+__all__ = [
+    "solve_pgo",
+    "solve_robust_pgo",
+    "SolveRobustPGOParams",
+    "chordal_initialization",
+    "odometry_initialization",
+    "single_rotation_averaging",
+    "single_translation_averaging",
+    "single_pose_averaging",
+    "robust_single_rotation_averaging",
+    "robust_single_pose_averaging",
+    "compute_measurement_error",
+]

@@ -1,0 +1,133 @@
+"""Riemannian staircase: rank-restricted SDP solve with certification.
+
+The centralized algorithm driver (reference: SingleRobotExample_RASLAM.cpp
+:161-282 and the certification part of MultiRobotExample.cpp:310-363):
+
+  for r = r_min .. r_max:
+      X <- RTR local minimum at rank r
+      S = Q - Lambda(X); if lambda_min(S) >= -eta: certified, stop
+      else: escape saddle along the min-eig direction, lift to rank r+1
+
+On success the solution is rounded to rank d (thin SVD + SO(d) projection)
+and optionally refined with a rank-d RTR.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from typing import List, Optional
+
+import numpy as np
+
+from dcora_tpu.core import lifted, problem as prob
+from dcora_tpu.core.certify import (
+    escape_saddle,
+    fast_verification,
+    round_solution,
+)
+from dcora_tpu.core.graph import LocalGraph
+from dcora_tpu.core.lifted import RAState
+from dcora_tpu.core.rtr import RTRConfig, rtr
+from dcora_tpu.types import ROptParameters
+
+logger = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class StaircaseResult:
+    X: RAState  # lifted solution at final rank
+    rounded: RAState  # rank-d rounded (and optionally refined) solution
+    certified: bool
+    final_rank: int
+    f_final: float
+    min_eig_history: List[float] = dataclasses.field(default_factory=list)
+    elapsed_s: float = 0.0
+
+
+def riemannian_staircase(
+    g: LocalGraph,
+    X0: RAState,
+    r_min: int,
+    r_max: int,
+    opt_params: Optional[ROptParameters] = None,
+    min_eig_num_tol: float = 1e-3,
+    gradient_tolerance: float = 1e-6,
+    preconditioned_gradient_tolerance: float = 1e-6,
+    num_lanczos: int = 64,
+    refine: bool = True,
+    verbose: bool = False,
+) -> StaircaseResult:
+    from dcora_tpu.solvers import make_preconditioner
+
+    t_start = time.time()
+    opt_params = opt_params or ROptParameters(
+        gradnorm_tol=1e-4, RTR_iterations=200, RTR_tCG_iterations=200
+    )
+    P = g.problem_data()
+    M = make_preconditioner(g, P)
+    dims = g.dims
+
+    assert X0.r == r_min
+    X = X0
+    certified = False
+    min_eigs: List[float] = []
+
+    r = r_min
+    while r < r_max:
+        cfg = RTRConfig(
+            gradnorm_tol=opt_params.gradnorm_tol,
+            max_outer=opt_params.RTR_iterations,
+            max_inner=opt_params.RTR_tCG_iterations,
+            initial_radius=opt_params.RTR_initial_radius,
+        )
+        G = lifted.zeros(dims, r)
+        res = rtr(P, G, M, X, cfg)
+        X = res.X
+        if verbose:
+            logger.info(
+                "rank %d: f=%.6f gradnorm=%.3e", r, float(res.f_final),
+                float(res.gradnorm_final),
+            )
+
+        is_psd, theta, v = fast_verification(
+            P, X, min_eig_num_tol, num_lanczos
+        )
+        if is_psd:
+            certified = True
+            break
+        min_eigs.append(theta)
+        if verbose:
+            logger.info("rank %d: saddle, curvature theta=%.3e", r, theta)
+        ok, X_next = escape_saddle(
+            P, X, theta, v, r + 1,
+            gradient_tolerance=gradient_tolerance,
+            preconditioned_gradient_tolerance=(
+                preconditioned_gradient_tolerance
+            ),
+            M=M, is_second_order=True,
+        )
+        if not ok:
+            logger.warning("saddle escape failed at rank %d", r)
+            break
+        X = X_next
+        r += 1
+
+    rounded = round_solution(X)
+    if refine:
+        cfg = RTRConfig(
+            gradnorm_tol=opt_params.gradnorm_tol,
+            max_outer=opt_params.RTR_iterations,
+            max_inner=opt_params.RTR_tCG_iterations,
+            initial_radius=opt_params.RTR_initial_radius,
+        )
+        G = lifted.zeros(dims, dims.d)
+        rounded = rtr(P, G, M, rounded, cfg).X
+
+    f_final = float(prob.cost(P, X))
+    return StaircaseResult(
+        X=X, rounded=rounded, certified=certified, final_rank=r,
+        f_final=f_final, min_eig_history=min_eigs,
+        elapsed_s=time.time() - t_start,
+    )

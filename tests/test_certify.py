@@ -1,0 +1,105 @@
+"""Certification tests: Lanczos vs dense eig oracle, staircase e2e."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dcora_tpu.core import certify, lifted, manifold, problem as prob
+from dcora_tpu.core.graph import LocalGraph
+from dcora_tpu.io import read_g2o_file
+from dcora_tpu.staircase import riemannian_staircase
+from dcora_tpu.types import ProblemDims, ROptParameters
+
+
+def _dense_S(P, X):
+    """Dense S = Q - Lambda via the engine's own operator on a basis."""
+    C = certify.dual_certificate_blocks(P, X)
+    dims = X.dims
+    k = dims.k
+    E = lifted.from_flat(jnp.eye(k), dims)
+    S = np.asarray(lifted.to_flat(certify.apply_S(P, C, E)))
+    return S
+
+
+def test_lanczos_matches_dense_min_eig(data_dir):
+    ds = read_g2o_file(f"{data_dir}/tinyGrid3D.g2o")
+    g = LocalGraph(0, 5, 3)
+    g.set_measurements(ds.pose_pose_measurements)
+    P = g.problem_data()
+    import jax.random as jr
+
+    X = manifold.random_state(jr.PRNGKey(2), ProblemDims(3, g.n), 5)
+    C = certify.dual_certificate_blocks(P, X)
+    S = _dense_S(P, X)
+    np.testing.assert_allclose(S, S.T, atol=1e-9)
+    evals = np.linalg.eigvalsh(0.5 * (S + S.T))
+    lam_min, v, resid = certify.minimum_eigen_pair(
+        P, C, X.dims, num_lanczos=min(100, X.dims.k)
+    )
+    np.testing.assert_allclose(lam_min, evals[0], rtol=1e-6, atol=1e-8)
+
+
+def test_certified_at_global_optimum_noiseless(data_dir):
+    """A noiseless dataset's ground truth is the global optimum; the dual
+    certificate must be PSD there (reference test strategy, testAgent)."""
+    ds = read_g2o_file(
+        f"{data_dir}/pose_graph_optimization_test_3d.g2o"
+    )
+    g = LocalGraph(0, 3, 3)
+    g.set_measurements(ds.pose_pose_measurements)
+    P = g.problem_data()
+    T = np.stack(
+        [np.asarray(ds.ground_truth_poses[k])
+         for k in sorted(ds.ground_truth_poses)]
+    )
+    X = lifted.from_pose_array(T)
+    f = float(prob.cost(P, X))
+    assert f < 1e-9, f"dataset not noiseless: f={f}"
+    is_psd, theta, v = certify.fast_verification(P, X, eta=1e-4)
+    assert is_psd
+
+
+def test_staircase_certifies_small_grid(data_dir):
+    ds = read_g2o_file(f"{data_dir}/smallGrid3D.g2o")
+    g = LocalGraph(0, 5, 3)
+    g.set_measurements(ds.pose_pose_measurements)
+
+    from dcora_tpu.core.init import chordal_initialization
+
+    T = chordal_initialization(ds.pose_pose_measurements)
+    X0 = lifted.pad_rank(lifted.from_pose_array(T), 5)
+    res = riemannian_staircase(
+        g, X0, r_min=5, r_max=10,
+        opt_params=ROptParameters(
+            gradnorm_tol=1e-4, RTR_iterations=200, RTR_tCG_iterations=200
+        ),
+        min_eig_num_tol=1e-3,
+    )
+    assert res.certified, f"not certified, min eigs: {res.min_eig_history}"
+    # rounded solution feasible and close in cost to the relaxation optimum
+    assert float(manifold.manifold_error(res.rounded)) < 1e-9
+    P = g.problem_data()
+    f_rounded = float(prob.cost(P, res.rounded))
+    assert f_rounded >= res.f_final - 1e-6
+    assert f_rounded <= res.f_final * 1.01 + 1e-6
+
+
+def test_round_solution_recovers_rank_d():
+    import jax.random as jr
+
+    dims = ProblemDims(3, 5, 4, 2)
+    Xd = manifold.random_state(jr.PRNGKey(0), dims, 3)
+    # rotation blocks must be proper rotations (det +1) for rounding to be
+    # exact; mixed-determinant Stiefel blocks are legitimately altered
+    Xd = Xd._replace(rot=manifold.rotation_project(Xd.rot))
+    # lift with a Stiefel matrix: rounding must recover it up to rotation
+    Y = manifold.fixed_lifting_matrix(7, 3)
+    X = lifted.lift(Xd, Y)
+    rounded = certify.round_solution(X)
+    assert float(manifold.manifold_error(rounded)) < 1e-9
+    # cost-relevant invariants: inner products between blocks preserved
+    f1 = lifted.to_flat(Xd)
+    f2 = lifted.to_flat(rounded)
+    np.testing.assert_allclose(
+        np.asarray(f1.T @ f1), np.asarray(f2.T @ f2), atol=1e-8
+    )
