@@ -76,6 +76,7 @@ class LocalGraph:
 
     def _invalidate(self):
         self._compiled = None
+        self.version = getattr(self, "version", 0) + 1
 
     @property
     def dims(self) -> ProblemDims:

@@ -107,12 +107,25 @@ def apply_Q(P: ProblemData, X: RAState) -> RAState:
 
     Replaces EucHessianEta / EucGrad SpMV (QuadraticProblem.cpp:53-68). X may
     be the augmented state (local + fixed) or the centralized state.
+
+    Index-space contract: any edge-endpoint index equal to the size of the
+    corresponding part of X addresses an implicit zero "padding" row: it
+    gathers zeros and its scattered contribution is discarded. Agent-local
+    subproblems exploit this by remapping fixed-neighbor slots to the pad
+    slot, which makes apply_Q on a local-shaped state exactly the Q_bb
+    block operator.
     """
     n_aug = X.rot.shape[0]
     t_aug = X.trn.shape[0]
     l_aug = X.sph.shape[0]
     r = X.rot.shape[1]
     dtype = X.rot.dtype
+
+    rot_pad = jnp.concatenate(
+        [X.rot, jnp.zeros((1, r, X.rot.shape[2]), dtype)]
+    )
+    trn_pad = jnp.concatenate([X.trn, jnp.zeros((1, r), dtype)])
+    sph_pad = jnp.concatenate([X.sph, jnp.zeros((1, r), dtype)])
 
     out_rot = jnp.zeros((n_aug, r, X.rot.shape[2]), dtype)
     out_trn = jnp.zeros((t_aug, r), dtype)
@@ -122,10 +135,10 @@ def apply_Q(P: ProblemData, X: RAState) -> RAState:
     if P.pp_ri.shape[0] > 0:
         kw = P.pp_kappa * P.pp_w * P.pp_active
         tw = P.pp_tau * P.pp_w * P.pp_active
-        Yi = X.rot[P.pp_ri]  # [m, r, d]
-        Yj = X.rot[P.pp_rj]
-        ti = X.trn[P.pp_ti]  # [m, r]
-        tj = X.trn[P.pp_tj]
+        Yi = rot_pad[P.pp_ri]  # [m, r, d]
+        Yj = rot_pad[P.pp_rj]
+        ti = trn_pad[P.pp_ti]  # [m, r]
+        tj = trn_pad[P.pp_tj]
         # s = Y_i t + t_i - t_j
         s = jnp.einsum("mrd,md->mr", Yi, P.pp_t) + ti - tj
         c_ri = kw[:, None, None] * (
@@ -137,50 +150,50 @@ def apply_Q(P: ProblemData, X: RAState) -> RAState:
         out_rot = out_rot + _seg(
             jnp.concatenate([c_ri, c_rj]),
             jnp.concatenate([P.pp_ri, P.pp_rj]),
-            n_aug,
-        )
+            n_aug + 1,
+        )[:n_aug]
         tws = tw[:, None] * s
         out_trn = out_trn + _seg(
             jnp.concatenate([tws, -tws]),
             jnp.concatenate([P.pp_ti, P.pp_tj]),
-            t_aug,
-        )
+            t_aug + 1,
+        )[:t_aug]
 
     # ---- pose-landmark ----
     if P.pl_ri.shape[0] > 0:
         tw = P.pl_tau * P.pl_w * P.pl_active
-        Yi = X.rot[P.pl_ri]
-        ti = X.trn[P.pl_ti]
-        tj = X.trn[P.pl_tj]
+        Yi = rot_pad[P.pl_ri]
+        ti = trn_pad[P.pl_ti]
+        tj = trn_pad[P.pl_tj]
         s = jnp.einsum("mrd,md->mr", Yi, P.pl_t) + ti - tj
         out_rot = out_rot + _seg(
             tw[:, None, None] * jnp.einsum("mr,md->mrd", s, P.pl_t),
             P.pl_ri,
-            n_aug,
-        )
+            n_aug + 1,
+        )[:n_aug]
         tws = tw[:, None] * s
         out_trn = out_trn + _seg(
             jnp.concatenate([tws, -tws]),
             jnp.concatenate([P.pl_ti, P.pl_tj]),
-            t_aug,
-        )
+            t_aug + 1,
+        )[:t_aug]
 
     # ---- ranges ----
     if P.rg_ti.shape[0] > 0:
         om = P.rg_prec * P.rg_w * P.rg_active
-        ta = X.trn[P.rg_ti]
-        tb = X.trn[P.rg_tj]
-        sq = X.sph[P.rg_q]
+        ta = trn_pad[P.rg_ti]
+        tb = trn_pad[P.rg_tj]
+        sq = sph_pad[P.rg_q]
         g = P.rg_rho[:, None] * sq + tb - ta
         out_sph = out_sph + _seg(
-            (om * P.rg_rho)[:, None] * g, P.rg_q, l_aug
-        )
+            (om * P.rg_rho)[:, None] * g, P.rg_q, l_aug + 1
+        )[:l_aug]
         omg = om[:, None] * g
         out_trn = out_trn + _seg(
             jnp.concatenate([-omg, omg]),
             jnp.concatenate([P.rg_ti, P.rg_tj]),
-            t_aug,
-        )
+            t_aug + 1,
+        )[:t_aug]
 
     return RAState(rot=out_rot, sph=out_sph, trn=out_trn)
 

@@ -1,0 +1,292 @@
+"""DC2-PGO: multi-robot distributed PGO with the Riemannian staircase.
+
+Mirrors examples/MultiRobotExample.cpp: partition a g2o pose graph into
+contiguous per-robot blocks, run RBCD(++) rounds with greedy block selection
+and simulated public-state exchange, certify centrally, and escape saddles
+across staircase ranks.
+
+Usage: python -m dcora_tpu.drivers.multi_robot_pgo NUM_ROBOTS file.g2o
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import logging
+import time
+from typing import Dict, List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+import dcora_tpu  # noqa: F401
+from dcora_tpu.agent import Agent
+from dcora_tpu.core import lifted, manifold, problem as prob
+from dcora_tpu.core.certify import escape_saddle, fast_verification
+from dcora_tpu.core.graph import LocalGraph
+from dcora_tpu.core.init import chordal_initialization, odometry_initialization
+from dcora_tpu.core.lifted import RAState
+from dcora_tpu.core.rtr import riemannian_gradient
+from dcora_tpu.io import read_g2o_file
+from dcora_tpu.measurements import RelativePosePoseMeasurement
+from dcora_tpu.types import (
+    AgentParameters,
+    InitializationMethod,
+    PoseID,
+)
+
+logger = logging.getLogger(__name__)
+
+
+def partition_measurements(measurements, n: int, num_robots: int):
+    """Contiguous-chunk partition (reference: MultiRobotExample.cpp:72-118).
+
+    Returns (odometry, private_lcs, shared_lcs) per robot plus the
+    global->local pose map.
+    """
+    npr = n // num_robots
+    assert npr > 0, "more robots than poses"
+
+    def robot_of(idx):
+        rid = min(idx // npr, num_robots - 1)
+        return rid, idx - rid * npr
+
+    odometry = [[] for _ in range(num_robots)]
+    private = [[] for _ in range(num_robots)]
+    shared = [[] for _ in range(num_robots)]
+    for m_in in measurements:
+        r1, i1 = robot_of(m_in.p1)
+        r2, i2 = robot_of(m_in.p2)
+        m = RelativePosePoseMeasurement(
+            r1, i1, r2, i2, m_in.R, m_in.t, m_in.kappa, m_in.tau,
+            weight=m_in.weight, fixedWeight=m_in.fixedWeight,
+        )
+        if r1 == r2:
+            if i1 + 1 == i2:
+                odometry[r1].append(m)
+            else:
+                private[r1].append(m)
+        else:
+            shared[r1].append(m)
+            shared[r2].append(m)
+    return odometry, private, shared, robot_of
+
+
+def robot_slice(n: int, num_robots: int, robot: int):
+    npr = n // num_robots
+    start = robot * npr
+    end = n if robot == num_robots - 1 else (robot + 1) * npr
+    return start, end
+
+
+@dataclasses.dataclass
+class MultiRobotResult:
+    X: RAState
+    certified: bool
+    final_rank: int
+    total_iters: int
+    cost_trace: List[float]
+    gradnorm_trace: List[float]
+    trajectories: Dict[int, np.ndarray]
+    elapsed_s: float
+
+
+def run(num_robots: int, g2o_path: str, acceleration: bool = True,
+        num_iters: int = 1000, r_min: int = 5, r_max: int = 100,
+        rgrad_norm_tol: float = 0.1, min_eig_num_tol: float = 1e-3,
+        init_method: InitializationMethod = InitializationMethod.Random,
+        rbcd_only: bool = False, verbose: bool = False,
+        log_directory: str = "") -> MultiRobotResult:
+    t_start = time.time()
+    ds = read_g2o_file(g2o_path)
+    measurements = ds.pose_pose_measurements
+    d, n = ds.dim, ds.num_poses
+    robot_ids = frozenset(range(num_robots))
+
+    odometry, private, shared, _ = partition_measurements(
+        measurements, n, num_robots
+    )
+
+    # initial estimate at rank r_min (reference: MultiRobotExample.cpp:141-169)
+    if init_method == InitializationMethod.Odometry:
+        odo_central = [m for m in measurements if m.p1 + 1 == m.p2]
+        T = odometry_initialization(odo_central)
+        Xcurr = lifted.pad_rank(lifted.from_pose_array(T), r_min)
+    elif init_method == InitializationMethod.Chordal:
+        T = chordal_initialization(measurements)
+        Xcurr = lifted.pad_rank(lifted.from_pose_array(T), r_min)
+    else:
+        import jax.random as jr
+
+        from dcora_tpu.types import ProblemDims
+
+        Xcurr = manifold.random_state(
+            jr.PRNGKey(0), ProblemDims(d, n), r_min
+        )
+
+    total_iter = 0
+    cost_trace: List[float] = []
+    grad_trace: List[float] = []
+    certified = False
+    r = r_min
+    trajectories: Dict[int, np.ndarray] = {}
+
+    while r < r_max:
+        central = LocalGraph(0, r, d)
+        central.set_measurements(measurements)
+        P = central.problem_data()
+        G0 = lifted.zeros(central.dims, r)
+
+        # fresh agents at this rank (reference: MultiRobotExample.cpp:184-217)
+        agents: List[Agent] = []
+        for robot in range(num_robots):
+            options = AgentParameters(
+                d=d, r=r, robotIDs=robot_ids, acceleration=acceleration,
+                verbose=verbose, logData=bool(log_directory),
+                logDirectory=log_directory,
+            )
+            agent = Agent(robot, options)
+            if robot > 0:
+                agent.set_lifting_matrix(agents[0].get_lifting_matrix())
+            agent.set_measurements(
+                odometry[robot] + private[robot] + shared[robot]
+            )
+            agent.initialize()
+            agents.append(agent)
+
+        for robot in range(num_robots):
+            s, e = robot_slice(n, num_robots, robot)
+            agents[robot].set_X(
+                RAState(
+                    rot=Xcurr.rot[s:e],
+                    sph=Xcurr.sph[:0],
+                    trn=Xcurr.trn[s:e],
+                )
+            )
+
+        Xopt = Xcurr
+        selected = 0
+        for it in range(num_iters):
+            sel = agents[selected]
+            for a in agents:
+                if a.id != selected:
+                    a.iterate(False)
+            # simulated communication (reference: :236-258)
+            for a in agents:
+                if a.id == selected:
+                    continue
+                dicts = a.get_shared_state_dicts()
+                if dicts is None:
+                    continue
+                sel.set_neighbor_status(a.get_status())
+                sel.update_neighbor_states(a.id, dicts[0])
+                if acceleration:
+                    aux = a.get_shared_state_dicts(aux=True)
+                    sel.set_neighbor_status(a.get_status())
+                    sel.update_neighbor_states(a.id, aux[0], aux=True)
+            sel.iterate(True)
+
+            # assemble central estimate
+            rots, trns = [], []
+            for robot in range(num_robots):
+                Xr = agents[robot].get_X()
+                rots.append(Xr.rot)
+                trns.append(Xr.trn)
+            Xopt = RAState(
+                rot=jnp.concatenate(rots),
+                sph=Xcurr.sph[:0],
+                trn=jnp.concatenate(trns),
+            )
+            RGrad = riemannian_gradient(P, Xopt, G0)
+            gradnorm = float(RGrad.norm())
+            cost = 2.0 * float(prob.cost(P, Xopt))
+            cost_trace.append(cost)
+            grad_trace.append(gradnorm)
+            if verbose or it % 50 == 0:
+                print(
+                    f"Iter = {total_iter} | robot = {selected} | "
+                    f"cost = {cost:.6f} | gradnorm = {gradnorm:.4f}"
+                )
+            if gradnorm < rgrad_norm_tol:
+                break
+
+            # greedy selection by block gradient norm (reference: :289-305)
+            if sel.get_neighbors():
+                norms = []
+                for robot in range(num_robots):
+                    s, e = robot_slice(n, num_robots, robot)
+                    nrm = float(
+                        jnp.sqrt(
+                            jnp.sum(RGrad.rot[s:e] ** 2)
+                            + jnp.sum(RGrad.trn[s:e] ** 2)
+                        )
+                    )
+                    norms.append(nrm)
+                selected = int(np.argmax(norms))
+            total_iter += 1
+
+        if rbcd_only:
+            anchor = np.asarray(agents[0].get_X().pose(0))
+            for a in agents:
+                a.set_global_anchor(anchor)
+                trajectories[a.id] = a.get_trajectory_in_global_frame()
+                a.reset()
+            Xcurr = Xopt
+            break
+
+        # certification (reference: :310-330)
+        is_psd, theta, v = fast_verification(
+            P, Xopt, min_eig_num_tol,
+            num_lanczos=min(64, central.dims.k - 1),
+        )
+        if is_psd:
+            certified = True
+            anchor = np.asarray(agents[0].get_X().pose(0))
+            for a in agents:
+                a.set_global_anchor(anchor)
+                trajectories[a.id] = a.get_trajectory_in_global_frame()
+                a.reset()
+            Xcurr = Xopt
+            break
+        logger.info("saddle at rank %d, theta=%.3e", r, theta)
+        ok, Xnext = escape_saddle(
+            P, Xopt, theta, v, r + 1, is_second_order=False
+        )
+        if not ok:
+            Xcurr = Xopt
+            break
+        Xcurr = Xnext
+        r += 1
+
+    return MultiRobotResult(
+        X=Xcurr, certified=certified, final_rank=r, total_iters=total_iter,
+        cost_trace=cost_trace, gradnorm_trace=grad_trace,
+        trajectories=trajectories, elapsed_s=time.time() - t_start,
+    )
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("num_robots", type=int)
+    ap.add_argument("g2o")
+    ap.add_argument("--no-accel", action="store_true")
+    ap.add_argument("--iters", type=int, default=1000)
+    ap.add_argument("--rmin", type=int, default=5)
+    ap.add_argument("--rmax", type=int, default=100)
+    ap.add_argument("--verbose", action="store_true")
+    args = ap.parse_args()
+    logging.basicConfig(level=logging.INFO)
+    res = run(
+        args.num_robots, args.g2o, acceleration=not args.no_accel,
+        num_iters=args.iters, r_min=args.rmin, r_max=args.rmax,
+        verbose=args.verbose,
+    )
+    print(
+        f"DC2-PGO: certified={res.certified} rank={res.final_rank} "
+        f"iters={res.total_iters} final_cost={res.cost_trace[-1]:.6f} "
+        f"elapsed={res.elapsed_s:.1f}s"
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -66,9 +66,9 @@ class RobustCostType(enum.Enum):
     GNC_TLS = "GNC_TLS"
 
 
-# Agent id reserved for the centralized (global) problem and the map agent.
-# reference: DCORA_types.h (CENTRALIZED_AGENT_ID), MAP_SYMBOL 'M' - 'A' = 12
-CENTRALIZED_AGENT_ID = 10**9
+# Agent id of the centralized (global) problem (reference: DCORA_types.h:42)
+# and the map agent (MAP_SYMBOL 'M' - 'A' = 12).
+CENTRALIZED_AGENT_ID = 0
 MAP_ID = ord("M") - ord("A")  # 12
 FIRST_AGENT_SYMBOL = "A"
 LANDMARK_SYMBOL = "L"
@@ -158,7 +158,10 @@ class AgentParameters:
     graphType: GraphType = GraphType.PoseGraph
     asynchronous: bool = False
     asynchronousOptimizationRate: float = 1.0
-    localInitializationMethod: InitializationMethod = InitializationMethod.Chordal
+    # reference default: Odometry (Agent.h:134)
+    localInitializationMethod: InitializationMethod = (
+        InitializationMethod.Odometry
+    )
     multirobotInitialization: bool = True
     acceleration: bool = False
     restartInterval: int = 30
