@@ -627,6 +627,46 @@ class Agent:
             self.gamma = 0.0
             self.alpha = 0.0
 
+    # ------------------------------------------------------- async mode
+    def start_optimization_loop(self):
+        """Spawn the asynchronous optimization thread firing at
+        exponential-distributed intervals (reference: Agent.cpp:650-692).
+        Asynchronous mode excludes acceleration, as in the reference."""
+        import threading
+
+        assert not self.params.acceleration, (
+            "asynchronous mode does not support acceleration"
+        )
+        if self.is_optimization_running():
+            return
+        self._end_loop_requested = False
+
+        def loop():
+            rng = np.random.default_rng()
+            rate = self.params.asynchronousOptimizationRate
+            while not self._end_loop_requested:
+                with self._opt_lock:
+                    self.iterate(True)
+                import time as _time
+
+                _time.sleep(rng.exponential(1.0 / rate))
+
+        self._opt_lock = getattr(self, "_opt_lock", None) or \
+            __import__("threading").Lock()
+        self._opt_thread = threading.Thread(target=loop, daemon=True)
+        self._opt_thread.start()
+
+    def end_optimization_loop(self):
+        if not self.is_optimization_running():
+            return
+        self._end_loop_requested = True
+        self._opt_thread.join()
+        self._opt_thread = None
+
+    def is_optimization_running(self) -> bool:
+        return getattr(self, "_opt_thread", None) is not None and \
+            self._opt_thread.is_alive()
+
     # ------------------------------------------------------------- robust
     def initialize_robust_optimization(self):
         self.robust_cost.reset()

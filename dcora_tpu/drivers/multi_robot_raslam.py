@@ -1,0 +1,274 @@
+"""DCORA: multi-robot distributed RA-SLAM with the Riemannian staircase.
+
+Mirrors examples/MultiRobotExample_RASLAM.cpp: per-robot RA subproblems from
+a PyFG dataset, RBCD(++) with Greedy or Uniform block selection and
+three-dict (pose/unit-sphere/landmark) public state exchange, central RA
+certification, saddle escape across ranks.
+
+Usage: python -m dcora_tpu.drivers.multi_robot_raslam data.pyfg
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import logging
+import time
+from typing import Dict, List
+
+import jax.numpy as jnp
+import numpy as np
+
+import dcora_tpu  # noqa: F401
+from dcora_tpu.agent import Agent
+from dcora_tpu.core import lifted, manifold, problem as prob
+from dcora_tpu.core.certify import escape_saddle, fast_verification
+from dcora_tpu.core.graph import LocalGraph
+from dcora_tpu.core.lifted import RAState
+from dcora_tpu.core.rtr import riemannian_gradient
+from dcora_tpu.drivers.single_robot_raslam import odometry_init_global
+from dcora_tpu.io import read_pyfg_file
+from dcora_tpu.io.remap import (
+    get_global_measurements,
+    get_robot_measurements,
+    robot_global_indices,
+)
+from dcora_tpu.types import (
+    AgentParameters,
+    BlockSelectionRule,
+    GraphType,
+    InitializationMethod,
+    MAP_ID,
+)
+
+logger = logging.getLogger(__name__)
+
+
+def _slice_agent_state(X: RAState, idx: Dict[str, np.ndarray]) -> RAState:
+    """Extract one agent's local block from the global RAState."""
+    n_glob = X.n
+    pose_trn = X.trn[jnp.asarray(idx["poses"])] if len(idx["poses"]) else \
+        X.trn[:0]
+    lmk_trn = (X.trn[jnp.asarray(n_glob + idx["landmarks"])]
+               if len(idx["landmarks"]) else X.trn[:0])
+    return RAState(
+        rot=X.rot[jnp.asarray(idx["poses"], dtype=jnp.int32)]
+        if len(idx["poses"]) else X.rot[:0],
+        sph=X.sph[jnp.asarray(idx["spheres"], dtype=jnp.int32)]
+        if len(idx["spheres"]) else X.sph[:0],
+        trn=jnp.concatenate([pose_trn, lmk_trn]),
+    )
+
+
+def _scatter_agent_state(X_glob_parts, X_a: RAState,
+                         idx: Dict[str, np.ndarray], n_glob: int):
+    rot, sph, trn = X_glob_parts
+    if len(idx["poses"]):
+        rot[idx["poses"]] = np.asarray(X_a.rot)
+        trn[idx["poses"]] = np.asarray(X_a.trn[: len(idx["poses"])])
+    if len(idx["spheres"]):
+        sph[idx["spheres"]] = np.asarray(X_a.sph)
+    if len(idx["landmarks"]):
+        trn[n_glob + idx["landmarks"]] = np.asarray(
+            X_a.trn[len(idx["poses"]):]
+        )
+
+
+@dataclasses.dataclass
+class MultiRobotRAResult:
+    X: RAState
+    certified: bool
+    final_rank: int
+    total_iters: int
+    cost_trace: List[float]
+    gradnorm_trace: List[float]
+    trajectories: Dict[int, np.ndarray]
+    elapsed_s: float
+
+
+def run(pyfg_path: str, acceleration: bool = True, num_iters: int = 1000,
+        r_max: int = 100, rgrad_norm_tol: float = 0.1,
+        min_eig_num_tol: float = 1e-3,
+        block_selection_rule: BlockSelectionRule = BlockSelectionRule.Greedy,
+        init_method: InitializationMethod = InitializationMethod.Odometry,
+        rbcd_only: bool = False, verbose: bool = False,
+        seed: int = 0) -> MultiRobotRAResult:
+    t_start = time.time()
+    ds = read_pyfg_file(pyfg_path)
+    gm = get_global_measurements(ds)
+    robot_meas = get_robot_measurements(ds)
+    ridx = robot_global_indices(ds)
+    d = ds.dim
+    gt = gm.ground_truth_init
+    n, l, b = gt.n, gt.l, gt.b
+    robot_ids = frozenset(sorted(ds.robot_IDs))
+    first = min(robot_ids)
+    rng = np.random.default_rng(seed)
+    r_min = d
+
+    if init_method == InitializationMethod.Odometry:
+        Xcurr = odometry_init_global(ds, gm)
+    elif init_method == InitializationMethod.Random:
+        import jax.random as jr
+
+        Xcurr = manifold.random_state(jr.PRNGKey(seed), gt.dims, d)
+    else:
+        Xcurr = gt
+
+    total_iter = 0
+    cost_trace: List[float] = []
+    grad_trace: List[float] = []
+    certified = False
+    trajectories: Dict[int, np.ndarray] = {}
+    r = r_min
+
+    while r < r_max:
+        central = LocalGraph(0, r, d, GraphType.RangeAidedSLAMGraph)
+        central.set_measurements(gm.relative_measurements)
+        P = central.problem_data()
+        G0 = lifted.zeros(central.dims, r)
+
+        Xrank = lifted.pad_rank(Xcurr, r) if Xcurr.r < r else Xcurr
+
+        agents: Dict[int, Agent] = {}
+        for rid in sorted(robot_ids):
+            options = AgentParameters(
+                d=d, r=r, robotIDs=robot_ids,
+                graphType=GraphType.RangeAidedSLAMGraph,
+                acceleration=acceleration, verbose=verbose,
+            )
+            a = Agent(rid, options)
+            if rid != first:
+                a.set_lifting_matrix(agents[first].get_lifting_matrix())
+            elif a.get_lifting_matrix() is None:
+                a.set_lifting_matrix(
+                    np.asarray(manifold.fixed_lifting_matrix(r, d))
+                )
+            if rid != MAP_ID:
+                a.set_measurements(
+                    robot_meas[rid].relative_measurements
+                )
+            a.initialize()
+            if rid != MAP_ID:
+                a.set_X(_slice_agent_state(Xrank, ridx[rid]))
+            agents[rid] = a
+
+        active_ids = [rid for rid in sorted(robot_ids) if rid != MAP_ID]
+        selected = active_ids[0]
+        for _ in range(num_iters):
+            sel = agents[selected]
+            for rid in sorted(robot_ids):
+                if rid != selected:
+                    agents[rid].iterate(False)
+            for rid in sorted(robot_ids):
+                if rid == selected:
+                    continue
+                dicts = agents[rid].get_shared_state_dicts()
+                if dicts is None:
+                    continue
+                sel.set_neighbor_status(agents[rid].get_status())
+                sel.update_neighbor_states(rid, dicts[0], False,
+                                           dicts[1], dicts[2])
+                if acceleration:
+                    aux = agents[rid].get_shared_state_dicts(aux=True)
+                    sel.update_neighbor_states(rid, aux[0], True,
+                                               aux[1], aux[2])
+            sel.iterate(True)
+
+            # assemble central estimate
+            rot = np.zeros((n, r, d))
+            sph = np.zeros((l, r))
+            trn = np.zeros((n + b, r))
+            for rid in active_ids:
+                _scatter_agent_state(
+                    (rot, sph, trn), agents[rid].get_X(), ridx[rid], n
+                )
+            Xopt = RAState(rot=jnp.asarray(rot), sph=jnp.asarray(sph),
+                           trn=jnp.asarray(trn))
+            RGrad = riemannian_gradient(P, Xopt, G0)
+            gradnorm = float(RGrad.norm())
+            cost = float(prob.cost(P, Xopt))
+            cost_trace.append(cost)
+            grad_trace.append(gradnorm)
+            if verbose or total_iter % 50 == 0:
+                print(f"{total_iter} {selected} {cost:.6f} "
+                      f"{gradnorm:.6f}")
+            if gradnorm < rgrad_norm_tol:
+                break
+
+            if sel.get_neighbors():
+                norms = {}
+                for rid in active_ids:
+                    Ga = _slice_agent_state(RGrad, ridx[rid])
+                    norms[rid] = float(Ga.norm())
+                if block_selection_rule == BlockSelectionRule.Greedy:
+                    selected = max(norms, key=norms.get)
+                else:
+                    selected = active_ids[rng.integers(len(active_ids))]
+            total_iter += 1
+
+        def finish():
+            anchor = np.asarray(agents[first].get_X().pose(0))
+            for rid in active_ids:
+                agents[rid].set_global_anchor(anchor)
+                trajectories[rid] = (
+                    agents[rid].get_trajectory_in_global_frame()
+                )
+                agents[rid].reset()
+
+        if rbcd_only:
+            finish()
+            Xcurr = Xopt
+            break
+
+        is_psd, theta, v = fast_verification(
+            P, Xopt, min_eig_num_tol,
+            num_lanczos=min(64, central.dims.k - 1),
+        )
+        if is_psd:
+            certified = True
+            finish()
+            Xcurr = Xopt
+            break
+        logger.info("saddle at rank %d, theta=%.3e", r, theta)
+        ok, Xnext = escape_saddle(P, Xopt, theta, v, r + 1)
+        if not ok:
+            Xcurr = Xopt
+            break
+        Xcurr = Xnext
+        r += 1
+
+    return MultiRobotRAResult(
+        X=Xcurr, certified=certified, final_rank=r,
+        total_iters=total_iter, cost_trace=cost_trace,
+        gradnorm_trace=grad_trace, trajectories=trajectories,
+        elapsed_s=time.time() - t_start,
+    )
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("pyfg")
+    ap.add_argument("--no-accel", action="store_true")
+    ap.add_argument("--iters", type=int, default=1000)
+    ap.add_argument("--rmax", type=int, default=100)
+    ap.add_argument("--rule", default="Greedy",
+                    choices=["Greedy", "Uniform"])
+    ap.add_argument("--verbose", action="store_true")
+    args = ap.parse_args()
+    logging.basicConfig(level=logging.INFO)
+    res = run(
+        args.pyfg, acceleration=not args.no_accel, num_iters=args.iters,
+        r_max=args.rmax,
+        block_selection_rule=BlockSelectionRule[args.rule],
+        verbose=args.verbose,
+    )
+    print(
+        f"DCORA: certified={res.certified} rank={res.final_rank} "
+        f"iters={res.total_iters} "
+        f"final_cost={res.cost_trace[-1]:.6f} elapsed={res.elapsed_s:.1f}s"
+    )
+
+
+if __name__ == "__main__":
+    main()

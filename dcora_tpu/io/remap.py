@@ -112,6 +112,35 @@ def get_global_measurements(ds: PyFGDataset) -> Measurements:
     return out
 
 
+def robot_global_indices(ds: PyFGDataset) -> Dict[int, Dict[str, np.ndarray]]:
+    """Per-robot arrays of global indices, ordered by (reindexed) local idx.
+
+    out[robot] = {"poses": [n_r], "spheres": [l_r], "landmarks": [b_r]}
+    mapping local index -> global index, for slicing global RAStates into
+    agent blocks and back (used by the multi-robot RA-SLAM driver).
+    """
+    mapping = get_local_to_global_state_mapping(ds, reindex_local_states=True)
+    out: Dict[int, Dict[str, np.ndarray]] = {}
+    for robot in ds.robot_IDs:
+        n = ds.robot_id_to_num_poses.get(robot, 0)
+        l = ds.robot_id_to_num_unit_spheres.get(robot, 0)  # noqa: E741
+        b = ds.robot_id_to_num_landmarks.get(robot, 0)
+        poses = np.zeros(n, dtype=np.int64)
+        sphs = np.zeros(l, dtype=np.int64)
+        lmks = np.zeros(b, dtype=np.int64)
+        for lid, gid in mapping.poses.items():
+            if lid.robot_id == robot:
+                poses[lid.frame_id] = gid.frame_id
+        for lid, gid in mapping.unit_spheres.items():
+            if lid.robot_id == robot:
+                sphs[lid.frame_id] = gid.frame_id
+        for lid, gid in mapping.landmarks.items():
+            if lid.robot_id == robot:
+                lmks[lid.frame_id] = gid.frame_id
+        out[robot] = {"poses": poses, "spheres": sphs, "landmarks": lmks}
+    return out
+
+
 def get_robot_measurements(ds: PyFGDataset) -> Dict[int, Measurements]:
     """Per-robot measurement partitions, reindexed from zero.
 
