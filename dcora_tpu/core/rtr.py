@@ -265,6 +265,69 @@ def _rtr_impl(P: ProblemData, G: RAState, M: Optional[Preconditioner],
 rtr = jax.jit(_rtr_impl, static_argnames=("cfg",))
 
 
+def rtr_chunked(P: ProblemData, G: RAState, M: Optional[Preconditioner],
+                X0: RAState, cfg: RTRConfig,
+                chunk: int = 20) -> RTRResult:
+    """Host-chunked outer loop: repeatedly run at most `chunk` outer
+    iterations per device call until the gradient tolerance or the total
+    budget is met.
+
+    Rationale: a single XLA program running for minutes trips RPC deadlines
+    on tunneled single-chip setups, and chunking gives progress visibility
+    at negligible cost (the chunk function is compiled once).
+    """
+    total = 0
+    X = X0
+    res = None
+    cfg_c = dataclasses.replace(cfg, max_outer=min(chunk, cfg.max_outer))
+    while total < cfg.max_outer:
+        res = rtr(P, G, M, X, cfg_c)
+        X = res.X
+        total += int(res.outer_iters)
+        if float(res.gradnorm_final) < cfg.gradnorm_tol or \
+                int(res.outer_iters) < cfg_c.max_outer:
+            break
+    if res is None:
+        res = rtr(P, G, M, X, dataclasses.replace(cfg, max_outer=1))
+    return RTRResult(X=res.X, f_final=res.f_final,
+                     gradnorm_final=res.gradnorm_final,
+                     outer_iters=jnp.asarray(total),
+                     accepted=res.accepted)
+
+
+def _cast(tree, dtype):
+    return jax.tree.map(
+        lambda a: a.astype(dtype)
+        if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
+        else a,
+        tree,
+    )
+
+
+def rtr_mixed(P: ProblemData, G: RAState, M: Optional[Preconditioner],
+              X0: RAState, cfg: RTRConfig,
+              coarse_tol: float = 1e-3) -> RTRResult:
+    """Mixed-precision trust region: a float32 coarse solve (native-speed on
+    TPU; f64 is emulated) followed by a float64 refinement from the warm
+    start. The refined result satisfies the same f64 gradient tolerance as
+    a pure-f64 solve; only the path there changes. This is a TPU-specific
+    capability with no reference counterpart (the reference is f64-only
+    Eigen, QuadraticProblem.cpp).
+    """
+    grad0 = riemannian_gradient(P, X0, G).norm()
+    tol32 = max(coarse_tol, cfg.gradnorm_tol)
+    cfg32 = dataclasses.replace(
+        cfg, gradnorm_tol=max(tol32, 1e-6 * float(grad0) + 1e-30)
+    )
+    res32 = rtr(_cast(P, jnp.float32), _cast(G, jnp.float32),
+                _cast(M, jnp.float32) if M is not None else None,
+                _cast(X0, jnp.float32), cfg32)
+    from dcora_tpu.core.manifold import project
+
+    X_warm = project(_cast(res32.X, jnp.float64))
+    return rtr(P, G, M, X_warm, cfg)
+
+
 def rgd_step(P: ProblemData, G: RAState, M: Optional[Preconditioner],
              X: RAState, stepsize: float) -> RAState:
     """Single preconditioned Riemannian gradient step
