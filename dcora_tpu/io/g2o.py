@@ -37,7 +37,42 @@ def _bulk_floats(lines, expected_cols: int) -> np.ndarray:
     return arr
 
 
+def _dataset_from_arrays(dim, v_ids, v_R, v_t, e_i, e_j, e_R, e_t,
+                         e_kappa, e_tau) -> G2ODataset:
+    """Assemble a G2ODataset from flat parsed arrays (native or numpy)."""
+    ds = G2ODataset()
+    ds.dim = dim
+    d = dim
+    for k in range(len(v_ids)):
+        T = np.zeros((d, d + 1))
+        T[:, :d] = v_R[k]
+        T[:, d] = v_t[k]
+        ds.ground_truth_poses[PoseID(0, int(v_ids[k]))] = T
+    max_idx = -1
+    for k in range(len(e_i)):
+        i, j = int(e_i[k]), int(e_j[k])
+        ds.pose_pose_measurements.append(
+            RelativePosePoseMeasurement(
+                r1=0, p1=i, r2=0, p2=j, R=e_R[k], t=e_t[k],
+                kappa=float(e_kappa[k]), tau=float(e_tau[k]),
+                fixedWeight=(i + 1 == j),
+            )
+        )
+        max_idx = max(max_idx, i, j)
+    ds.num_poses = max_idx + 1
+    return ds
+
+
 def read_g2o_file(filename: str) -> G2ODataset:
+    from dcora_tpu import native
+
+    if native.available():
+        a = native.parse_g2o(filename)
+        return _dataset_from_arrays(
+            a.dim, a.v_ids, a.v_R, a.v_t, a.e_i, a.e_j, a.e_R, a.e_t,
+            a.e_kappa, a.e_tau,
+        )
+
     ds = G2ODataset()
 
     v2, v3, e2, e3 = [], [], [], []
@@ -99,11 +134,10 @@ def read_g2o_file(filename: str) -> G2ODataset:
         jj = arr[:, 1].astype(np.int64)
         ts = arr[:, 2:4]
         Rs = theta_to_rotation(arr[:, 4])
-        It = np.zeros((len(arr), 2, 2))
-        It[:, 0, 0] = arr[:, 5]
-        It[:, 0, 1] = It[:, 1, 0] = arr[:, 6]
-        It[:, 1, 1] = arr[:, 8]
-        taus = 2.0 / np.trace(np.linalg.inv(It), axis1=1, axis2=2)
+        # analytic 2x2 inverse-trace (matches Eigen's cofactor inverse,
+        # important for near-singular information matrices)
+        I11, I12, I22 = arr[:, 5], arr[:, 6], arr[:, 8]
+        taus = 2.0 * (I11 * I22 - I12 * I12) / (I11 + I22)
         kappas = arr[:, 10]
     else:
         # i j dx dy dz qx qy qz qw I11..I16 I22..I26 I33..I36 I44..I46 I55 I56 I66
@@ -112,22 +146,22 @@ def read_g2o_file(filename: str) -> G2ODataset:
         jj = arr[:, 1].astype(np.int64)
         ts = arr[:, 2:5]
         Rs = quat_to_rotation(arr[:, 5:9])
-        It = np.zeros((len(arr), 3, 3))
-        It[:, 0, 0] = arr[:, 9]
-        It[:, 0, 1] = It[:, 1, 0] = arr[:, 10]
-        It[:, 0, 2] = It[:, 2, 0] = arr[:, 11]
-        It[:, 1, 1] = arr[:, 15]
-        It[:, 1, 2] = It[:, 2, 1] = arr[:, 16]
-        It[:, 2, 2] = arr[:, 20]
-        IR = np.zeros((len(arr), 3, 3))
-        IR[:, 0, 0] = arr[:, 24]
-        IR[:, 0, 1] = IR[:, 1, 0] = arr[:, 25]
-        IR[:, 0, 2] = IR[:, 2, 0] = arr[:, 26]
-        IR[:, 1, 1] = arr[:, 27]
-        IR[:, 1, 2] = IR[:, 2, 1] = arr[:, 28]
-        IR[:, 2, 2] = arr[:, 29]
-        taus = 3.0 / np.trace(np.linalg.inv(It), axis1=1, axis2=2)
-        kappas = 3.0 / (2.0 * np.trace(np.linalg.inv(IR), axis1=1, axis2=2))
+        # analytic 3x3 inverse-trace: trace(inv(M)) = trace(adj(M))/det(M)
+        # (matches Eigen's cofactor inverse for near-singular inputs)
+        def trace_inv_sym3(a, b, c, e, f, i):
+            det = a * (e * i - f * f) - b * (b * i - f * c) \
+                + c * (b * f - e * c)
+            adj = (e * i - f * f) + (a * i - c * c) + (a * e - b * b)
+            return adj / det
+
+        taus = 3.0 / trace_inv_sym3(
+            arr[:, 9], arr[:, 10], arr[:, 11],
+            arr[:, 15], arr[:, 16], arr[:, 20],
+        )
+        kappas = 3.0 / (2.0 * trace_inv_sym3(
+            arr[:, 24], arr[:, 25], arr[:, 26],
+            arr[:, 27], arr[:, 28], arr[:, 29],
+        ))
 
     for k in range(len(ii)):
         i, j = int(ii[k]), int(jj[k])

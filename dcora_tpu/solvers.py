@@ -48,13 +48,38 @@ def build_pgo_graph(measurements: List[RelativePosePoseMeasurement],
 
 def make_preconditioner(g: LocalGraph, P: prob.ProblemData):
     """Reference regularization rule: 1e-1 for PGO, lambda_max/(1e6-1) for
-    RA-SLAM (Graph.cpp:1901-1960)."""
+    RA-SLAM (Graph.cpp:1901-1960).
+
+    Uses the native (C++) block assembly when available -- this is a
+    host-side graph-builder step, called on every data-matrix refresh in
+    the RBCD loop; falls back to the jnp implementation otherwise."""
     if g.is_pgo_compatible():
         reg = 1e-1
     else:
         probe = lifted.zeros(g.dims, 1)
         lam = prob.power_iteration_lambda_max(P, probe)
         reg = float(lam) / (1e6 - 1.0)
+
+    from dcora_tpu import native
+
+    if native.available():
+        a = np.asarray
+        out = native.jacobi_precond(
+            g.n, g.l, g.b, g.d, reg,
+            a(P.pp_ri), a(P.pp_rj), a(P.pp_t), a(P.pp_kappa), a(P.pp_tau),
+            a(P.pp_w) * a(P.pp_active),
+            a(P.pl_ri), a(P.pl_tj), a(P.pl_t), a(P.pl_tau),
+            a(P.pl_w) * a(P.pl_active),
+            a(P.rg_ti), a(P.rg_tj), a(P.rg_q), a(P.rg_rho), a(P.rg_prec),
+            a(P.rg_w) * a(P.rg_active),
+        )
+        if out is not None:
+            pose_inv, sph_diag, lmk_diag = out
+            return prob.Preconditioner(
+                pose_inv=jnp.asarray(pose_inv),
+                sph_diag=jnp.asarray(sph_diag),
+                lmk_diag=jnp.asarray(lmk_diag),
+            )
     return prob.build_preconditioner(P, g.n, g.l, g.b, g.d, reg)
 
 
