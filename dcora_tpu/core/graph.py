@@ -19,7 +19,7 @@ from typing import Dict, List, Optional, Set, Tuple
 import numpy as np
 import jax.numpy as jnp
 
-from dcora_tpu.core import lifted
+from dcora_tpu.core import lifted, problem
 from dcora_tpu.core.lifted import RAState
 from dcora_tpu.core.problem import ProblemData
 from dcora_tpu.measurements import (
@@ -444,6 +444,31 @@ class LocalGraph:
             rg_w=jnp.asarray(rg_w),
             rg_active=jnp.asarray(rg_a),
             prior_G=prior_G,
+            ell=self._build_ell(c, d, pp_w * pp_a, pl_w * pl_a, rg_w * rg_a),
+        )
+
+    def _build_ell(self, c, d, pp_wa, pl_wa, rg_wa):
+        """ELL form of the local Q (TPU fast path); None when disabled."""
+        import os
+
+        if os.environ.get("DCORA_ELL", "1") == "0":
+            return None
+        pp_kappa = np.array([m.kappa for m in c["pp_meas"]])
+        pp_tau = np.array([m.tau for m in c["pp_meas"]])
+        pl_tau = np.array([m.tau for m in c["pl_meas"]])
+        rg_prec = np.array([m.precision for m in c["rg_meas"]])
+        pp_R = np.array([m.R for m in c["pp_meas"]]).reshape(-1, d, d)
+        pp_t = np.array([m.t for m in c["pp_meas"]]).reshape(-1, d)
+        pl_t = np.array([m.t for m in c["pl_meas"]]).reshape(-1, d)
+        return problem.build_ell(
+            self.n, self.l, self.b, d,
+            c["pp_idx"][:, 0], c["pp_idx"][:, 1],
+            c["pp_idx"][:, 2], c["pp_idx"][:, 3],
+            pp_R, pp_t, pp_kappa * pp_wa, pp_tau * pp_wa,
+            c["pl_idx"][:, 0], c["pl_idx"][:, 1], c["pl_idx"][:, 2],
+            pl_t, pl_tau * pl_wa,
+            c["rg_idx"][:, 0], c["rg_idx"][:, 1], c["rg_idx"][:, 2],
+            np.array([m.range for m in c["rg_meas"]]), rg_prec * rg_wa,
         )
 
     def fixed_state(self, pose_dict: Dict[StateID, np.ndarray],

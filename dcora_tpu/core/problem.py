@@ -93,16 +93,215 @@ class ProblemData(NamedTuple):
     # Stored at rank of use; zeros when no priors.
     prior_G: Optional[RAState]
 
+    # optional ELLPACK form of the LOCAL Q (scalar sparse, RA column
+    # ordering); the TPU fast path for apply_Q -- see EllQ
+    ell: "Optional[EllQ]" = None
+
     @property
     def num_pose_pose(self) -> int:
         return self.pp_ri.shape[0]
+
+
+class EllQ(NamedTuple):
+    """ELLPACK representation of the local block Q_bb at scalar granularity.
+
+    TPU rationale: XLA scatter (segment_sum) with tiny inner dims runs far
+    from memory bandwidth; a fixed-width row layout turns the SpMM
+    W = X Q into one regular gather + einsum with no scatter at all.
+    Column ordering follows the reference's RA layout (Elements.h:178-183):
+    rotations [n*d], unit spheres [l], translations [n+b].  Rows wider than
+    the ELL width spill into a small COO overflow handled by segment_sum.
+    Padding slots point at the extra zero row k (cols == k, vals == 0).
+    """
+
+    cols: jax.Array  # i32[k, D] column index per slot (k = pad row)
+    vals: jax.Array  # f64[k, D]
+    ov_rows: jax.Array  # i32[novf] overflow COO
+    ov_cols: jax.Array  # i32[novf]
+    ov_vals: jax.Array  # f64[novf]
+
+
+def _apply_ell(E: "EllQ", X: RAState) -> RAState:
+    n, r, d = X.rot.shape
+    l = X.sph.shape[0]  # noqa: E741
+    dtype = X.rot.dtype
+    Xf = jnp.concatenate([
+        jnp.swapaxes(X.rot, 1, 2).reshape(n * d, r),
+        X.sph,
+        X.trn,
+        jnp.zeros((1, r), dtype),
+    ])
+    Wg = Xf[E.cols]  # [k, D, r]
+    W = jnp.einsum("kdr,kd->kr", Wg, E.vals.astype(dtype))
+    if E.ov_rows.shape[0]:
+        contrib = Xf[E.ov_cols] * E.ov_vals.astype(dtype)[:, None]
+        W = W + _seg(contrib, E.ov_rows, Xf.shape[0])[:-1]
+    return RAState(
+        rot=jnp.swapaxes(W[: n * d].reshape(n, d, r), 1, 2),
+        sph=W[n * d:n * d + l],
+        trn=W[n * d + l:],
+    )
+
+
+def build_ell(n: int, l: int, b: int, d: int,  # noqa: E741
+              pp_ri, pp_rj, pp_ti, pp_tj, pp_R, pp_t, pp_kw, pp_tw,
+              pl_ri, pl_ti, pl_tj, pl_t, pl_tw,
+              rg_ti, rg_tj, rg_q, rg_rho, rg_om,
+              width_cap: int = 48) -> "EllQ":
+    """Host-side assembly of the local scalar Q in ELL form.
+
+    Index arrays live in the *augmented* spaces; entries whose row or
+    column falls outside the local spaces are dropped (they belong to the
+    Q_bc blocks handled by linear_term).  Weights (kw/tw/om) are the
+    products kappa*w*active etc., so a weight change requires a rebuild
+    (GNC epochs only -- the RBCD hot loop never rebuilds Q_bb).
+    """
+    import numpy as np
+    import scipy.sparse as sp
+
+    nd = n * d
+    k = nd + l + (n + b)
+    t_off = nd + l  # translation column offset
+
+    rows_all, cols_all, vals_all, ok_all = [], [], [], []
+    ar = np.arange(d)
+
+    def emit(rid, rok, cid, cok, v):
+        rid, cid, v = np.broadcast_arrays(rid, cid, v)
+        ok = np.broadcast_arrays(rok & cok, v)[0]
+        rows_all.append(rid.ravel())
+        cols_all.append(cid.ravel())
+        vals_all.append(v.ravel())
+        ok_all.append(ok.ravel())
+
+    mpp = len(pp_ri)
+    if mpp:
+        ri, rj = np.asarray(pp_ri), np.asarray(pp_rj)
+        ti, tj = np.asarray(pp_ti), np.asarray(pp_tj)
+        R, t = np.asarray(pp_R), np.asarray(pp_t)
+        kw, tw = np.asarray(pp_kw), np.asarray(pp_tw)
+        # scalar rotation ids, masked with the section-local bound: a fixed
+        # rotation (ri >= n_aug_local) must not alias sphere/trn columns
+        Ri = ri[:, None] * d + ar  # [m, d]
+        Rj = rj[:, None] * d + ar
+        Ri_ok = (ri < n)[:, None] & np.ones(d, bool)
+        Rj_ok = (rj < n)[:, None] & np.ones(d, bool)
+
+        eye = np.eye(d)
+        # tail rot-rot diag: kw I + tw t t^T
+        emit(Ri[:, :, None], Ri_ok[:, :, None], Ri[:, None, :],
+             Ri_ok[:, None, :],
+             kw[:, None, None] * eye
+             + tw[:, None, None] * t[:, :, None] * t[:, None, :])
+        # head rot-rot diag: kw I
+        emit(Rj, Rj_ok, Rj, Rj_ok, np.broadcast_to(kw[:, None], (mpp, d)))
+        # cross: Q[rot_i, rot_j] = -kw R (and its transpose)
+        V = -kw[:, None, None] * R
+        emit(Ri[:, :, None], Ri_ok[:, :, None], Rj[:, None, :],
+             Rj_ok[:, None, :], V)
+        emit(Rj[:, None, :], Rj_ok[:, None, :], Ri[:, :, None],
+             Ri_ok[:, :, None], V)
+        # rot-trans: Q[rot_i, trn_i] = tw t; Q[rot_i, trn_j] = -tw t (+sym)
+        Ti = t_off + ti
+        Tj = t_off + tj
+        Ti_ok = ti < (n + b)
+        Tj_ok = tj < (n + b)
+        v = tw[:, None] * t
+        emit(Ri, Ri_ok, Ti[:, None], Ti_ok[:, None], v)
+        emit(Ti[:, None], Ti_ok[:, None], Ri, Ri_ok, v)
+        emit(Ri, Ri_ok, Tj[:, None], Tj_ok[:, None], -v)
+        emit(Tj[:, None], Tj_ok[:, None], Ri, Ri_ok, -v)
+        # translation Laplacian
+        emit(Ti, Ti_ok, Ti, Ti_ok, tw)
+        emit(Tj, Tj_ok, Tj, Tj_ok, tw)
+        emit(Ti, Ti_ok, Tj, Tj_ok, -tw)
+        emit(Tj, Tj_ok, Ti, Ti_ok, -tw)
+
+    mpl = len(pl_ri)
+    if mpl:
+        ri = np.asarray(pl_ri)
+        ti, tj = np.asarray(pl_ti), np.asarray(pl_tj)
+        t, tw = np.asarray(pl_t), np.asarray(pl_tw)
+        Ri = ri[:, None] * d + ar
+        Ri_ok = (ri < n)[:, None] & np.ones(d, bool)
+        Ti = t_off + ti
+        Tj = t_off + tj
+        Ti_ok = ti < (n + b)
+        Tj_ok = tj < (n + b)
+
+        emit(Ri[:, :, None], Ri_ok[:, :, None], Ri[:, None, :],
+             Ri_ok[:, None, :],
+             tw[:, None, None] * t[:, :, None] * t[:, None, :])
+        v = tw[:, None] * t
+        emit(Ri, Ri_ok, Ti[:, None], Ti_ok[:, None], v)
+        emit(Ti[:, None], Ti_ok[:, None], Ri, Ri_ok, v)
+        emit(Ri, Ri_ok, Tj[:, None], Tj_ok[:, None], -v)
+        emit(Tj[:, None], Tj_ok[:, None], Ri, Ri_ok, -v)
+        emit(Ti, Ti_ok, Ti, Ti_ok, tw)
+        emit(Tj, Tj_ok, Tj, Tj_ok, tw)
+        emit(Ti, Ti_ok, Tj, Tj_ok, -tw)
+        emit(Tj, Tj_ok, Ti, Ti_ok, -tw)
+
+    mrg = len(rg_ti)
+    if mrg:
+        ta, tb = np.asarray(rg_ti), np.asarray(rg_tj)
+        q = np.asarray(rg_q)
+        rho, om = np.asarray(rg_rho), np.asarray(rg_om)
+        Sq = nd + q
+        Sq_ok = q < l
+        Ta = t_off + ta
+        Tb = t_off + tb
+        Ta_ok = ta < (n + b)
+        Tb_ok = tb < (n + b)
+
+        emit(Sq, Sq_ok, Sq, Sq_ok, om * rho * rho)
+        emit(Sq, Sq_ok, Ta, Ta_ok, -om * rho)
+        emit(Ta, Ta_ok, Sq, Sq_ok, -om * rho)
+        emit(Sq, Sq_ok, Tb, Tb_ok, om * rho)
+        emit(Tb, Tb_ok, Sq, Sq_ok, om * rho)
+        emit(Ta, Ta_ok, Ta, Ta_ok, om)
+        emit(Tb, Tb_ok, Tb, Tb_ok, om)
+        emit(Ta, Ta_ok, Tb, Tb_ok, -om)
+        emit(Tb, Tb_ok, Ta, Ta_ok, -om)
+
+    if rows_all:
+        rows = np.concatenate(rows_all)
+        cols = np.concatenate(cols_all)
+        vals = np.concatenate(vals_all)
+        ok = np.concatenate(ok_all)
+        rows, cols, vals = rows[ok], cols[ok], vals[ok]
+    else:
+        rows = cols = np.zeros(0, np.int64)
+        vals = np.zeros(0)
+
+    A = sp.coo_matrix((vals, (rows, cols)), shape=(k, k)).tocsr()
+    A.sum_duplicates()
+    nnz_per_row = np.diff(A.indptr)
+    D = max(int(nnz_per_row.max(initial=0)), 1)
+    D = min(D, width_cap)
+    cols_ell = np.full((k, D), k, np.int32)
+    vals_ell = np.zeros((k, D))
+    rank = np.arange(A.nnz) - np.repeat(A.indptr[:-1], nnz_per_row)
+    row_ids = np.repeat(np.arange(k), nnz_per_row)
+    in_ell = rank < D
+    cols_ell[row_ids[in_ell], rank[in_ell]] = A.indices[in_ell]
+    vals_ell[row_ids[in_ell], rank[in_ell]] = A.data[in_ell]
+    ov = ~in_ell
+    return EllQ(
+        cols=jnp.asarray(cols_ell),
+        vals=jnp.asarray(vals_ell),
+        ov_rows=jnp.asarray(row_ids[ov].astype(np.int32)),
+        ov_cols=jnp.asarray(A.indices[ov].astype(np.int32)),
+        ov_vals=jnp.asarray(A.data[ov]),
+    )
 
 
 def _seg(contrib, idx, num):
     return jax.ops.segment_sum(contrib, idx, num_segments=num)
 
 
-def apply_Q(P: ProblemData, X: RAState) -> RAState:
+def apply_Q(P: ProblemData, X: RAState,
+            prefer_ell: bool = False) -> RAState:
     """W = X Q arranged in the same block layout as X (Q is symmetric).
 
     Replaces EucHessianEta / EucGrad SpMV (QuadraticProblem.cpp:53-68). X may
@@ -114,7 +313,24 @@ def apply_Q(P: ProblemData, X: RAState) -> RAState:
     subproblems exploit this by remapping fixed-neighbor slots to the pad
     slot, which makes apply_Q on a local-shaped state exactly the Q_bb
     block operator.
+
+    When P carries an ELL form of the local Q (P.ell), X is local-shaped
+    (flat size matches -- a static check under jit), and `prefer_ell`, the
+    scatter-free ELL fast path is used instead of gather/segment-sum.
+
+    Numerics: the ELL path multiplies out the scalar entries of Q (like the
+    reference's assembled sparse matrix), so applying it to a state X near
+    the optimum loses ~6 digits to cancellation (Y_i ~ Y_j R^T); the edge
+    path computes the residual s = Y_i t + t_i - t_j *before* multiplying
+    and does not.  Gradient/cost therefore default to the edge path, while
+    hessian_vec (the tCG hot loop, acting on small tangent vectors with no
+    such cancellation) uses ELL.
     """
+    if prefer_ell and P.ell is not None:
+        n_, r_, d_ = X.rot.shape
+        k_flat = n_ * d_ + X.sph.shape[0] + X.trn.shape[0]
+        if k_flat == P.ell.cols.shape[0]:
+            return _apply_ell(P.ell, X)
     n_aug = X.rot.shape[0]
     t_aug = X.trn.shape[0]
     l_aug = X.sph.shape[0]
@@ -266,8 +482,12 @@ def euclidean_gradient(P: ProblemData, X: RAState,
 
 
 def hessian_vec(P: ProblemData, V: RAState) -> RAState:
-    """V Q (reference: QuadraticProblem.cpp:61-68)."""
-    return apply_Q(P, V)
+    """V Q (reference: QuadraticProblem.cpp:61-68).
+
+    Uses the ELL fast path when available: V is a tangent vector, so the
+    cancellation that rules ELL out for gradients does not arise here.
+    """
+    return apply_Q(P, V, prefer_ell=True)
 
 
 # --------------------------------------------------------------------------

@@ -47,6 +47,19 @@ class RTRConfig:
     kappa: float = 0.1
     theta: float = 1.0
     rho_accept: float = 0.1
+    # Manopt-style rho regularization: near convergence the actual decrease
+    # f(X) - f(X+) is dominated by eps*|f| cancellation noise, making rho
+    # garbage and stalling the solver ~6 digits above the achievable
+    # gradnorm.  Adding reg = rho_regularization*eps*max(1,|f|) to both
+    # numerator and denominator drives rho -> 1 for noise-level steps.
+    rho_regularization: float = 1e3
+    # Run the tCG inner loop in float32 while the outer RTR (gradient,
+    # cost, rho, retraction) stays in the data dtype.  TPU-native mixed
+    # precision: f64 is emulated ~10-30x slower than native f32, and an
+    # inexact Newton direction does not limit the achievable gradient norm
+    # -- the f64 gradient and rho test do.  Ignored when the data is
+    # already float32.
+    tcg_f32: bool = False
     # one-accepted-step mode (RBCD): shrink radius /4 on rejection, <=10 tries
     single_accepted_step: bool = False
     max_rejections: int = 10
@@ -148,6 +161,29 @@ def truncated_cg(P: ProblemData, X: RAState, grad: RAState, egrad: RAState,
     return TCGResult(eta=eta, Heta=Heta, inner_iters=it)
 
 
+def _run_tcg(P: ProblemData, X: RAState, grad: RAState, egrad: RAState,
+             M: Optional[Preconditioner], radius, cfg: "RTRConfig"
+             ) -> TCGResult:
+    """Dispatch tCG at the working dtype or in float32 (cfg.tcg_f32).
+
+    In mixed mode the returned eta is re-projected onto the f64 tangent
+    space; Heta is the (f32-accurate) upcast, good enough for the
+    rho-regularized acceptance test.
+    """
+    if cfg.tcg_f32 and grad.rot.dtype == jnp.float64:
+        f32 = jnp.float32
+        res = truncated_cg(
+            _cast(P, f32), _cast(X, f32), _cast(grad, f32),
+            _cast(egrad, f32), _cast(M, f32) if M is not None else None,
+            jnp.asarray(radius, f32), cfg.max_inner, cfg.kappa, cfg.theta,
+        )
+        eta = tangent_project(X, _cast(res.eta, jnp.float64))
+        return TCGResult(eta=eta, Heta=_cast(res.Heta, jnp.float64),
+                         inner_iters=res.inner_iters)
+    return truncated_cg(P, X, grad, egrad, M, radius, cfg.max_inner,
+                        cfg.kappa, cfg.theta)
+
+
 class RTRResult(NamedTuple):
     X: RAState
     f_final: jax.Array
@@ -170,15 +206,18 @@ def _rtr_impl(P: ProblemData, G: RAState, M: Optional[Preconditioner],
         fX = f(X)
         egrad = prob.euclidean_gradient(P, X, G)
         grad = tangent_project(X, egrad)
-        res = truncated_cg(P, X, grad, egrad, M, radius, cfg.max_inner,
-                           cfg.kappa, cfg.theta)
+        res = _run_tcg(P, X, grad, egrad, M, radius, cfg)
         Xtest = retract(X, res.eta)
         ftest = f(Xtest)
         model_decrease = -(grad.vdot(res.eta) + 0.5 * res.eta.vdot(res.Heta))
-        rho = (fX - ftest) / jnp.where(
-            jnp.abs(model_decrease) < 1e-300, 1e-300, model_decrease
+        reg = (cfg.rho_regularization * jnp.finfo(fX.dtype).eps
+               * jnp.maximum(1.0, jnp.abs(fX)))
+        rho = (fX - ftest + reg) / jnp.where(
+            jnp.abs(model_decrease + reg) < 1e-300, 1e-300,
+            model_decrease + reg,
         )
-        accept = jnp.logical_and(rho > cfg.rho_accept, ftest <= fX)
+        accept = jnp.logical_and(rho > cfg.rho_accept,
+                                 ftest <= fX + reg)
         hit_boundary = res.eta.norm() >= 0.99 * radius
         radius_new = jnp.where(
             rho < 0.25,
@@ -208,16 +247,19 @@ def _rtr_impl(P: ProblemData, G: RAState, M: Optional[Preconditioner],
             fX = f(X)
             egrad = prob.euclidean_gradient(P, X, G)
             grad = tangent_project(X, egrad)
-            res = truncated_cg(P, X, grad, egrad, M, radius, cfg.max_inner,
-                               cfg.kappa, cfg.theta)
+            res = _run_tcg(P, X, grad, egrad, M, radius, cfg)
             Xtest = retract(X, res.eta)
             ftest = f(Xtest)
             model_decrease = -(grad.vdot(res.eta)
                                + 0.5 * res.eta.vdot(res.Heta))
-            rho = (fX - ftest) / jnp.where(
-                jnp.abs(model_decrease) < 1e-300, 1e-300, model_decrease
+            reg = (cfg.rho_regularization * jnp.finfo(fX.dtype).eps
+                   * jnp.maximum(1.0, jnp.abs(fX)))
+            rho = (fX - ftest + reg) / jnp.where(
+                jnp.abs(model_decrease + reg) < 1e-300, 1e-300,
+                model_decrease + reg,
             )
-            accept = jnp.logical_and(rho > cfg.rho_accept, ftest <= fX)
+            accept = jnp.logical_and(rho > cfg.rho_accept,
+                                     ftest <= fX + reg)
             X_new = jax.tree.map(
                 lambda a, b: jnp.where(accept, a, b), Xtest, X
             )
