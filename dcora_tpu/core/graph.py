@@ -406,17 +406,24 @@ class LocalGraph:
         )
 
         prior_G = None
+        prior_kdiag = prior_tdiag = None
         if self.pose_priors:
             G = lifted.zeros(self.dims, r)
             rot = np.zeros((self.n, r, d))
             trn = np.zeros((self.n + self.b, r))
+            kdiag = np.zeros(self.n)
+            tdiag = np.zeros(self.n + self.b)
             for idx, P in self.pose_priors.items():
                 assert P.shape == (r, d + 1), (P.shape, r, d)
                 rot[idx] -= PRIOR_KAPPA * P[:, :d]
                 trn[idx] -= PRIOR_TAU * P[:, d]
+                kdiag[idx] += PRIOR_KAPPA
+                tdiag[idx] += PRIOR_TAU
             prior_G = RAState(
                 rot=jnp.asarray(rot), sph=G.sph, trn=jnp.asarray(trn)
             )
+            prior_kdiag = jnp.asarray(kdiag)
+            prior_tdiag = jnp.asarray(tdiag)
 
         return ProblemData(
             pp_ri=jnp.asarray(c["pp_idx"][:, 0]),
@@ -444,10 +451,14 @@ class LocalGraph:
             rg_w=jnp.asarray(rg_w),
             rg_active=jnp.asarray(rg_a),
             prior_G=prior_G,
-            ell=self._build_ell(c, d, pp_w * pp_a, pl_w * pl_a, rg_w * rg_a),
+            prior_kdiag=prior_kdiag,
+            prior_tdiag=prior_tdiag,
+            ell=self._build_ell(c, d, pp_w * pp_a, pl_w * pl_a, rg_w * rg_a,
+                                prior_kdiag, prior_tdiag),
         )
 
-    def _build_ell(self, c, d, pp_wa, pl_wa, rg_wa):
+    def _build_ell(self, c, d, pp_wa, pl_wa, rg_wa,
+                   prior_kdiag=None, prior_tdiag=None):
         """ELL form of the local Q (TPU fast path); None when disabled."""
         import os
 
@@ -469,6 +480,7 @@ class LocalGraph:
             pl_t, pl_tau * pl_wa,
             c["rg_idx"][:, 0], c["rg_idx"][:, 1], c["rg_idx"][:, 2],
             np.array([m.range for m in c["rg_meas"]]), rg_prec * rg_wa,
+            kdiag=prior_kdiag, tdiag=prior_tdiag,
         )
 
     def fixed_state(self, pose_dict: Dict[StateID, np.ndarray],

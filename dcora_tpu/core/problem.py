@@ -93,6 +93,13 @@ class ProblemData(NamedTuple):
     # Stored at rank of use; zeros when no priors.
     prior_G: Optional[RAState]
 
+    # quadratic prior diagonals over LOCAL slots (reference: the kappa I /
+    # tau terms a prior adds to Q, Graph.cpp:314-331).  Without these the
+    # prior cost 0.5*k||Y-P||^2 + 0.5*t||p-q||^2 would reduce to its linear
+    # part and be unbounded below.  None when there are no priors.
+    prior_kdiag: Optional[jax.Array] = None  # f64[n] kappa per local pose
+    prior_tdiag: Optional[jax.Array] = None  # f64[n+b] tau per local trans
+
     # optional ELLPACK form of the LOCAL Q (scalar sparse, RA column
     # ordering); the TPU fast path for apply_Q -- see EllQ
     ell: "Optional[EllQ]" = None
@@ -147,7 +154,7 @@ def build_ell(n: int, l: int, b: int, d: int,  # noqa: E741
               pp_ri, pp_rj, pp_ti, pp_tj, pp_R, pp_t, pp_kw, pp_tw,
               pl_ri, pl_ti, pl_tj, pl_t, pl_tw,
               rg_ti, rg_tj, rg_q, rg_rho, rg_om,
-              width_cap: int = 48) -> "EllQ":
+              width_cap: int = 48, kdiag=None, tdiag=None) -> "EllQ":
     """Host-side assembly of the local scalar Q in ELL form.
 
     Index arrays live in the *augmented* spaces; entries whose row or
@@ -263,6 +270,18 @@ def build_ell(n: int, l: int, b: int, d: int,  # noqa: E741
         emit(Tb, Tb_ok, Tb, Tb_ok, om)
         emit(Ta, Ta_ok, Tb, Tb_ok, -om)
         emit(Tb, Tb_ok, Ta, Ta_ok, -om)
+
+    # prior quadratic diagonals (Graph.cpp:314-331)
+    if kdiag is not None:
+        kd = np.asarray(kdiag)
+        Ri = np.arange(n)[:, None] * d + ar
+        ok = np.ones_like(Ri, bool)
+        emit(Ri, ok, Ri, ok, np.broadcast_to(kd[:, None], (n, d)))
+    if tdiag is not None:
+        td = np.asarray(tdiag)
+        Ti = t_off + np.arange(n + b)
+        ok = np.ones_like(Ti, bool)
+        emit(Ti, ok, Ti, ok, td)
 
     if rows_all:
         rows = np.concatenate(rows_all)
@@ -410,6 +429,16 @@ def apply_Q(P: ProblemData, X: RAState,
             jnp.concatenate([P.rg_ti, P.rg_tj]),
             t_aug + 1,
         )[:t_aug]
+
+    # ---- prior quadratic diagonals (local slots only) ----
+    if P.prior_kdiag is not None:
+        n_loc = P.prior_kdiag.shape[0]
+        kd = P.prior_kdiag.astype(dtype)
+        out_rot = out_rot.at[:n_loc].add(kd[:, None, None] * X.rot[:n_loc])
+    if P.prior_tdiag is not None:
+        t_loc = P.prior_tdiag.shape[0]
+        td = P.prior_tdiag.astype(dtype)
+        out_trn = out_trn.at[:t_loc].add(td[:, None] * X.trn[:t_loc])
 
     return RAState(rot=out_rot, sph=out_sph, trn=out_trn)
 
@@ -569,6 +598,14 @@ def build_preconditioner(P: ProblemData, n: int, l: int, b: int,  # noqa: E741
             lm = tidx - n
             lm = jnp.where((lm >= 0) & (lm < b), lm, b)
             lmk = lmk + _seg(om, lm, b + 1)[:b]
+
+    if P.prior_kdiag is not None:
+        blocks = blocks.at[:, jnp.arange(d), jnp.arange(d)].add(
+            P.prior_kdiag[:, None]
+        )
+    if P.prior_tdiag is not None:
+        blocks = blocks.at[:, d, d].add(P.prior_tdiag[:n])
+        lmk = lmk + P.prior_tdiag[n:]
 
     blocks = blocks + reg * jnp.eye(dh)
     # explicit inverses: applying the preconditioner becomes one batched

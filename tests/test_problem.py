@@ -219,3 +219,61 @@ def test_cost_on_real_dataset(data_dir):
         jax.random.PRNGKey(0), ProblemDims(3, g.n), 3
     )
     assert float(prob.cost(P, Xr)) > f
+
+
+def test_prior_quadratic_diagonal_bounds_cost():
+    """A pose prior must add its quadratic diagonal (kappa I on the rotation
+    block, tau on the translation) to Q, not only the linear term G --
+    otherwise the prior cost is unbounded below (reference: Graph.cpp:314-331).
+    Regression test for the missing-diagonal bug."""
+    d, r = 3, 3
+    g = LocalGraph(0, r, d)
+    m = RelativePosePoseMeasurement(
+        0, 0, 0, 1, np.eye(3), np.array([1.0, 0, 0]), kappa=100.0, tau=10.0
+    )
+    g.set_measurements([m])
+    P0 = np.zeros((r, d + 1))
+    P0[:d, :d] = np.eye(d)
+    P0[:, d] = [5.0, 0, 0]
+    g.set_prior(0, P0)
+    P = g.problem_data()
+    G = prob.linear_term(P, None, g.n, g.l, g.dims.num_trans)
+
+    from dcora_tpu.core.graph import PRIOR_KAPPA, PRIOR_TAU
+
+    T = np.zeros((2, d, d + 1))
+    T[0][:, :d] = np.eye(d)
+    T[0][:, d] = [5.0, 0, 0]
+    T[1][:, :d] = np.eye(d)
+    T[1][:, d] = [6.0, 0, 0]
+    X = lifted.from_pose_array(T)
+    f_opt = float(prob.cost(P, X, G))
+    # f drops the constant 0.5*(kappa*||P_rot||^2 + tau*||p||^2); at the
+    # prior-satisfying, odometry-exact state the residual cost is exactly
+    # minus that constant.
+    const = 0.5 * (PRIOR_KAPPA * d + PRIOR_TAU * 25.0)
+    np.testing.assert_allclose(f_opt, -const, rtol=1e-12)
+
+    # moving away from the prior must increase the cost (boundedness)
+    T[0][:, d] = [500.0, 0, 0]
+    T[1][:, d] = [501.0, 0, 0]
+    f_far = float(prob.cost(P, lifted.from_pose_array(T), G))
+    assert f_far > f_opt + 1e3
+
+    # gradient at the joint optimum vanishes
+    from dcora_tpu.core.rtr import riemannian_gradient
+
+    gn = float(riemannian_gradient(P, X, G).norm())
+    assert gn < 1e-9
+
+    # ELL-assembled Hessian path must include the prior diagonal too
+    V = manifold.random_state(jax.random.PRNGKey(3), ProblemDims(d, 2), r)
+    hv_edge = prob.apply_Q(P, V, prefer_ell=False)
+    hv_ell = prob.apply_Q(P, V, prefer_ell=True)
+    assert P.ell is not None
+    np.testing.assert_allclose(
+        np.asarray(hv_ell.rot), np.asarray(hv_edge.rot), atol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(hv_ell.trn), np.asarray(hv_edge.trn), atol=1e-9
+    )
