@@ -7,9 +7,17 @@ initial radius 100 / max radius 5x, and the special one-accepted-step mode
 used as the RBCD per-iteration solver (radius shrinks /4 on rejection, up to
 10 tries; QuadraticOptimizer.cpp:253-273).
 
-Everything is expressed over RAState pytrees inside lax.while_loop, so one
-compilation serves every staircase level (rank masking) and every RBCD
-iteration.
+The solver is generic over the state representation through a *backend*
+(static jit argument) providing the problem/manifold operations:
+
+  * ``RA_BACKEND``   -- RAState pytrees + matrix-free edge-path cost engine
+    (problem.py); exact residual-form numerics, f64-friendly.
+  * ``FLAT_BACKEND`` -- flat [r_pad, kpad] arrays over the RCM-tiled scalar
+    ordering (tiled.py); the TPU speed-of-light path (MXU block-sparse SpMM,
+    lane-parallel per-pose ops).
+
+Everything runs inside lax.while_loop, so one compilation serves every
+staircase level (rank masking) and every RBCD iteration.
 
 The Riemannian Hessian uses the Weingarten-corrected form for embedded
 Stiefel/oblique submanifolds,
@@ -24,7 +32,6 @@ relies on via QuadraticProblem::EucHessianEta.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import NamedTuple, Optional
 
 import jax
@@ -34,6 +41,39 @@ from dcora_tpu.core import problem as prob
 from dcora_tpu.core.lifted import RAState
 from dcora_tpu.core.manifold import retract, tangent_project
 from dcora_tpu.core.problem import Preconditioner, ProblemData
+
+
+# --------------------------------------------------------------------------
+# generic pytree algebra (works for RAState and bare arrays alike)
+# --------------------------------------------------------------------------
+
+
+def tvdot(a, b):
+    return sum(
+        jnp.vdot(x, y)
+        for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b))
+    )
+
+
+def tnorm(a):
+    return jnp.sqrt(tvdot(a, a))
+
+
+def tscale(a, s):
+    return jax.tree.map(lambda x: s * x, a)
+
+
+def tadd(a, b):
+    return jax.tree.map(jnp.add, a, b)
+
+
+def taxpy(s, x, y):
+    """y + s * x."""
+    return jax.tree.map(lambda xi, yi: yi + s * xi, x, y)
+
+
+def twhere(c, a, b):
+    return jax.tree.map(lambda ai, bi: jnp.where(c, ai, bi), a, b)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -65,59 +105,134 @@ class RTRConfig:
     max_rejections: int = 10
 
 
+# --------------------------------------------------------------------------
+# backends
+# --------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class _RABackend:
+    """RAState + edge-path cost engine (problem.py)."""
+
+    def cost(self, P, G, X):
+        return prob.cost(P, X, G)
+
+    def egrad(self, P, G, X):
+        return prob.euclidean_gradient(P, X, G)
+
+    def hessvec(self, P, V):
+        return prob.hessian_vec(P, V)
+
+    def tangent(self, P, X, V):
+        return tangent_project(X, V)
+
+    def weingarten(self, P, X, eta, egrad):
+        S = 0.5 * (
+            jnp.einsum("nri,nrj->nij", X.rot, egrad.rot)
+            + jnp.einsum("nrj,nri->nij", X.rot, egrad.rot)
+        )
+        w_rot = jnp.einsum("nrd,nde->nre", eta.rot, S)
+        w_sph = eta.sph * jnp.sum(X.sph * egrad.sph, axis=-1, keepdims=True)
+        return RAState(rot=w_rot, sph=w_sph, trn=jnp.zeros_like(eta.trn))
+
+    def precond(self, P, M, X, V):
+        if M is None:
+            return V  # V is already tangent
+        return tangent_project(X, prob.apply_preconditioner(M, V))
+
+    def retract(self, P, X, V):
+        return retract(X, V)
+
+
+@dataclasses.dataclass(frozen=True)
+class _FlatBackend:
+    """Flat [r_pad, kpad] arrays over the tiled scalar ordering (tiled.py).
+
+    P is a tiled.TiledProblem (preconditioner included); M is ignored.
+    """
+
+    def cost(self, P, G, X):
+        from dcora_tpu.core import tiled
+
+        return tiled.cost_flat(P, X, G)
+
+    def egrad(self, P, G, X):
+        from dcora_tpu.core import tiled
+
+        return tiled.egrad_flat(P, X, G)
+
+    def hessvec(self, P, V):
+        from dcora_tpu.core import tiled
+
+        return tiled.apply_tiled(P, V)
+
+    def tangent(self, P, X, V):
+        from dcora_tpu.core import tiled
+
+        return tiled.tangent_project_flat(P.meta, X, V)
+
+    def weingarten(self, P, X, eta, egrad):
+        from dcora_tpu.core import tiled
+
+        return tiled.weingarten_flat(P.meta, X, eta, egrad)
+
+    def precond(self, P, M, X, V):
+        from dcora_tpu.core import tiled
+
+        return tiled.tangent_project_flat(
+            P.meta, X, tiled.precondition_flat(P, V)
+        )
+
+    def retract(self, P, X, V):
+        from dcora_tpu.core import tiled
+
+        return tiled.retract_flat(P.meta, X, V)
+
+
+RA_BACKEND = _RABackend()
+FLAT_BACKEND = _FlatBackend()
+
+
 def riemannian_gradient(P: ProblemData, X: RAState, G: RAState) -> RAState:
     return tangent_project(X, prob.euclidean_gradient(P, X, G))
 
 
-def _weingarten(X: RAState, eta: RAState, egrad: RAState) -> RAState:
-    S = 0.5 * (
-        jnp.einsum("nri,nrj->nij", X.rot, egrad.rot)
-        + jnp.einsum("nrj,nri->nij", X.rot, egrad.rot)
-    )
-    w_rot = jnp.einsum("nrd,nde->nre", eta.rot, S)
-    w_sph = eta.sph * jnp.sum(X.sph * egrad.sph, axis=-1, keepdims=True)
-    return RAState(rot=w_rot, sph=w_sph, trn=jnp.zeros_like(eta.trn))
-
-
 def riemannian_hessian_vec(P: ProblemData, X: RAState, eta: RAState,
                            egrad: RAState) -> RAState:
-    H = prob.hessian_vec(P, eta) - _weingarten(X, eta, egrad)
-    return tangent_project(X, H)
+    return _rhess(RA_BACKEND, P, X, eta, egrad)
 
 
-def _apply_precond(M: Optional[Preconditioner], X: RAState,
-                   V: RAState) -> RAState:
-    if M is None:
-        return V  # V is already tangent
-    return tangent_project(X, prob.apply_preconditioner(M, V))
+def _rhess(be, P, X, eta, egrad):
+    H = be.hessvec(P, eta)
+    H = jax.tree.map(jnp.subtract, H, be.weingarten(P, X, eta, egrad))
+    return be.tangent(P, X, H)
 
 
 class TCGResult(NamedTuple):
-    eta: RAState
-    Heta: RAState
+    eta: object
+    Heta: object
     inner_iters: jax.Array
 
 
-def truncated_cg(P: ProblemData, X: RAState, grad: RAState, egrad: RAState,
-                 M: Optional[Preconditioner], radius, max_inner: int,
-                 kappa: float, theta: float) -> TCGResult:
+def truncated_cg(P, X, grad, egrad, M, radius, max_inner: int,
+                 kappa: float, theta: float, be=RA_BACKEND) -> TCGResult:
     """Preconditioned Steihaug-Toint tCG for the trust-region subproblem."""
     zero = jax.tree.map(jnp.zeros_like, grad)
 
     r0 = grad
-    z0 = _apply_precond(M, X, r0)
-    d0 = z0.scale(-1.0)
-    r0_norm = r0.norm()
+    z0 = be.precond(P, M, X, r0)
+    d0 = tscale(z0, -1.0)
+    r0_norm = tnorm(r0)
     stop_tol = r0_norm * jnp.minimum(kappa, r0_norm**theta)
 
     def hess(eta):
-        return riemannian_hessian_vec(P, X, eta, egrad)
+        return _rhess(be, P, X, eta, egrad)
 
     def boundary_tau(eta, d, radius):
         # largest tau >= 0 with ||eta + tau d|| = radius
-        dd = d.vdot(d)
-        ed = eta.vdot(d)
-        ee = eta.vdot(eta)
+        dd = tvdot(d, d)
+        ed = tvdot(eta, d)
+        ee = tvdot(eta, eta)
         disc = jnp.maximum(ed * ed - dd * (ee - radius**2), 0.0)
         return (-ed + jnp.sqrt(disc)) / jnp.where(dd == 0, 1.0, dd)
 
@@ -130,108 +245,94 @@ def truncated_cg(P: ProblemData, X: RAState, grad: RAState, egrad: RAState,
     def body(s: State):
         eta, Heta, r, z, d, rz, it, done = s
         Hd = hess(d)
-        dHd = d.vdot(Hd)
+        dHd = tvdot(d, Hd)
         alpha = rz / jnp.where(dHd == 0, 1.0, dHd)
-        eta_next = eta + d.scale(alpha)
-        hit = jnp.logical_or(dHd <= 0, eta_next.norm() >= radius)
+        eta_next = taxpy(alpha, d, eta)
+        hit = jnp.logical_or(dHd <= 0, tnorm(eta_next) >= radius)
 
         tau = boundary_tau(eta, d, radius)
-        eta_b = eta + d.scale(tau)
-        Heta_b = Heta + Hd.scale(tau)
+        eta_b = taxpy(tau, d, eta)
+        Heta_b = taxpy(tau, Hd, Heta)
 
-        eta_new = jax.tree.map(
-            lambda a, b: jnp.where(hit, a, b), eta_b, eta_next
-        )
-        Heta_new = jax.tree.map(
-            lambda a, b: jnp.where(hit, a, b), Heta_b, Heta + Hd.scale(alpha)
-        )
-        r_new = r + Hd.scale(alpha)
-        z_new = _apply_precond(M, X, r_new)
-        rz_new = r_new.vdot(z_new)
-        small = r_new.norm() <= stop_tol
+        eta_new = twhere(hit, eta_b, eta_next)
+        Heta_new = twhere(hit, Heta_b, taxpy(alpha, Hd, Heta))
+        r_new = taxpy(alpha, Hd, r)
+        z_new = be.precond(P, M, X, r_new)
+        rz_new = tvdot(r_new, z_new)
+        small = tnorm(r_new) <= stop_tol
         beta = rz_new / jnp.where(rz == 0, 1.0, rz)
-        d_new = z_new.scale(-1.0) + d.scale(beta)
+        d_new = taxpy(beta, d, tscale(z_new, -1.0))
         done_new = jnp.logical_or(hit, small)
         return (eta_new, Heta_new, r_new, z_new, d_new, rz_new, it + 1,
                 done_new)
 
-    init = (zero, zero, r0, z0, d0, r0.vdot(z0), jnp.zeros((), jnp.int32),
+    init = (zero, zero, r0, z0, d0, tvdot(r0, z0), jnp.zeros((), jnp.int32),
             r0_norm < 1e-300)
     eta, Heta, _, _, _, _, it, _ = jax.lax.while_loop(cond, body, init)
     return TCGResult(eta=eta, Heta=Heta, inner_iters=it)
 
 
-def _run_tcg(P: ProblemData, X: RAState, grad: RAState, egrad: RAState,
-             M: Optional[Preconditioner], radius, cfg: "RTRConfig"
-             ) -> TCGResult:
+def _run_tcg(P, X, grad, egrad, M, radius, cfg: "RTRConfig",
+             be=RA_BACKEND) -> TCGResult:
     """Dispatch tCG at the working dtype or in float32 (cfg.tcg_f32).
 
     In mixed mode the returned eta is re-projected onto the f64 tangent
     space; Heta is the (f32-accurate) upcast, good enough for the
     rho-regularized acceptance test.
     """
-    if cfg.tcg_f32 and grad.rot.dtype == jnp.float64:
+    lead = jax.tree.leaves(grad)[0]
+    if cfg.tcg_f32 and lead.dtype == jnp.float64:
         f32 = jnp.float32
         res = truncated_cg(
             _cast(P, f32), _cast(X, f32), _cast(grad, f32),
             _cast(egrad, f32), _cast(M, f32) if M is not None else None,
             jnp.asarray(radius, f32), cfg.max_inner, cfg.kappa, cfg.theta,
+            be=be,
         )
-        eta = tangent_project(X, _cast(res.eta, jnp.float64))
+        eta = be.tangent(P, X, _cast(res.eta, jnp.float64))
         return TCGResult(eta=eta, Heta=_cast(res.Heta, jnp.float64),
                          inner_iters=res.inner_iters)
     return truncated_cg(P, X, grad, egrad, M, radius, cfg.max_inner,
-                        cfg.kappa, cfg.theta)
+                        cfg.kappa, cfg.theta, be=be)
 
 
 class RTRResult(NamedTuple):
-    X: RAState
+    X: object
     f_final: jax.Array
     gradnorm_final: jax.Array
     outer_iters: jax.Array
     accepted: jax.Array  # whether any step was accepted
 
 
-def _rtr_impl(P: ProblemData, G: RAState, M: Optional[Preconditioner],
-              X0: RAState, cfg: RTRConfig) -> RTRResult:
+def _rtr_impl(P, G, M, X0, cfg: RTRConfig, be=RA_BACKEND) -> RTRResult:
     max_radius = cfg.initial_radius * cfg.max_radius_factor
 
     def f(X):
-        return prob.cost(P, X, G)
+        return be.cost(P, G, X)
 
     def rgrad(X):
-        return riemannian_gradient(P, X, G)
+        return be.tangent(P, X, be.egrad(P, G, X))
 
-    def step(X, radius):
+    def try_step(X, radius):
+        """One trust-region step proposal; returns (X_new, rho, accept)."""
         fX = f(X)
-        egrad = prob.euclidean_gradient(P, X, G)
-        grad = tangent_project(X, egrad)
-        res = _run_tcg(P, X, grad, egrad, M, radius, cfg)
-        Xtest = retract(X, res.eta)
+        egrad = be.egrad(P, G, X)
+        grad = be.tangent(P, X, egrad)
+        res = _run_tcg(P, X, grad, egrad, M, radius, cfg, be=be)
+        Xtest = be.retract(P, X, res.eta)
         ftest = f(Xtest)
-        model_decrease = -(grad.vdot(res.eta) + 0.5 * res.eta.vdot(res.Heta))
+        model_decrease = -(tvdot(grad, res.eta)
+                           + 0.5 * tvdot(res.eta, res.Heta))
         reg = (cfg.rho_regularization * jnp.finfo(fX.dtype).eps
                * jnp.maximum(1.0, jnp.abs(fX)))
         rho = (fX - ftest + reg) / jnp.where(
             jnp.abs(model_decrease + reg) < 1e-300, 1e-300,
             model_decrease + reg,
         )
-        accept = jnp.logical_and(rho > cfg.rho_accept,
-                                 ftest <= fX + reg)
-        hit_boundary = res.eta.norm() >= 0.99 * radius
-        radius_new = jnp.where(
-            rho < 0.25,
-            radius / 4.0,
-            jnp.where(
-                jnp.logical_and(rho > 0.75, hit_boundary),
-                jnp.minimum(2.0 * radius, max_radius),
-                radius,
-            ),
-        )
-        X_new = jax.tree.map(
-            lambda a, b: jnp.where(accept, a, b), Xtest, X
-        )
-        return X_new, radius_new, accept
+        accept = jnp.logical_and(rho > cfg.rho_accept, ftest <= fX + reg)
+        X_new = twhere(accept, Xtest, X)
+        hit_boundary = tnorm(res.eta) >= 0.99 * radius
+        return X_new, rho, accept, hit_boundary
 
     if cfg.single_accepted_step:
         # RBCD mode (QuadraticOptimizer.cpp:253-273): keep shrinking the
@@ -244,29 +345,11 @@ def _rtr_impl(P: ProblemData, G: RAState, M: Optional[Preconditioner],
 
         def body(s):
             X, radius, it, _ = s
-            fX = f(X)
-            egrad = prob.euclidean_gradient(P, X, G)
-            grad = tangent_project(X, egrad)
-            res = _run_tcg(P, X, grad, egrad, M, radius, cfg)
-            Xtest = retract(X, res.eta)
-            ftest = f(Xtest)
-            model_decrease = -(grad.vdot(res.eta)
-                               + 0.5 * res.eta.vdot(res.Heta))
-            reg = (cfg.rho_regularization * jnp.finfo(fX.dtype).eps
-                   * jnp.maximum(1.0, jnp.abs(fX)))
-            rho = (fX - ftest + reg) / jnp.where(
-                jnp.abs(model_decrease + reg) < 1e-300, 1e-300,
-                model_decrease + reg,
-            )
-            accept = jnp.logical_and(rho > cfg.rho_accept,
-                                     ftest <= fX + reg)
-            X_new = jax.tree.map(
-                lambda a, b: jnp.where(accept, a, b), Xtest, X
-            )
+            X_new, rho, accept, _ = try_step(X, radius)
             return (X_new, radius / 4.0, it + 1, accept)
 
         # skip if already below tolerance (QuadraticOptimizer.cpp:54-56)
-        g0 = rgrad(X0).norm()
+        g0 = tnorm(rgrad(X0))
         below = g0 < cfg.gradnorm_tol
         X, _, it, accepted = jax.lax.while_loop(
             cond, body,
@@ -274,9 +357,22 @@ def _rtr_impl(P: ProblemData, G: RAState, M: Optional[Preconditioner],
              below),
         )
         return RTRResult(
-            X=X, f_final=f(X), gradnorm_final=rgrad(X).norm(),
+            X=X, f_final=f(X), gradnorm_final=tnorm(rgrad(X)),
             outer_iters=it, accepted=jnp.logical_or(accepted, below),
         )
+
+    def step(X, radius):
+        X_new, rho, accept, hit_boundary = try_step(X, radius)
+        radius_new = jnp.where(
+            rho < 0.25,
+            radius / 4.0,
+            jnp.where(
+                jnp.logical_and(rho > 0.75, hit_boundary),
+                jnp.minimum(2.0 * radius, max_radius),
+                radius,
+            ),
+        )
+        return X_new, radius_new, accept
 
     def cond(s):
         X, radius, it, done, any_acc = s
@@ -285,12 +381,12 @@ def _rtr_impl(P: ProblemData, G: RAState, M: Optional[Preconditioner],
     def body(s):
         X, radius, it, done, any_acc = s
         X_new, radius_new, accept = step(X, radius)
-        gnorm = rgrad(X_new).norm()
+        gnorm = tnorm(rgrad(X_new))
         done_new = gnorm < cfg.gradnorm_tol
         return (X_new, radius_new, it + 1, done_new,
                 jnp.logical_or(any_acc, accept))
 
-    g0 = rgrad(X0).norm()
+    g0 = tnorm(rgrad(X0))
     init_done = g0 < cfg.gradnorm_tol
     X, _, it, _, any_acc = jax.lax.while_loop(
         cond, body,
@@ -298,18 +394,26 @@ def _rtr_impl(P: ProblemData, G: RAState, M: Optional[Preconditioner],
          init_done, init_done),
     )
     return RTRResult(
-        X=X, f_final=f(X), gradnorm_final=rgrad(X).norm(), outer_iters=it,
+        X=X, f_final=f(X), gradnorm_final=tnorm(rgrad(X)), outer_iters=it,
         accepted=any_acc,
     )
 
 
-# jit wrapper: cfg is static; M may be None (static in pytree structure)
-rtr = jax.jit(_rtr_impl, static_argnames=("cfg",))
+# jit wrappers: cfg/backend are static; M may be None (static in structure)
+rtr = jax.jit(_rtr_impl, static_argnames=("cfg", "be"))
 
 
-def rtr_chunked(P: ProblemData, G: RAState, M: Optional[Preconditioner],
-                X0: RAState, cfg: RTRConfig,
-                chunk: int = 20) -> RTRResult:
+def rtr_flat(TP, Gf, Xf0, cfg: RTRConfig) -> RTRResult:
+    """RTR on the flat tiled representation (TPU fast path).
+
+    TP: tiled.TiledProblem; Gf: flat linear term (or None); Xf0: flat state
+    [r_pad, kpad] at the tile dtype.
+    """
+    return rtr(TP, Gf, None, Xf0, cfg, be=FLAT_BACKEND)
+
+
+def rtr_chunked(P, G, M, X0, cfg: RTRConfig, chunk: int = 20,
+                be=RA_BACKEND) -> RTRResult:
     """Host-chunked outer loop: repeatedly run at most `chunk` outer
     iterations per device call until the gradient tolerance or the total
     budget is met.
@@ -323,14 +427,14 @@ def rtr_chunked(P: ProblemData, G: RAState, M: Optional[Preconditioner],
     res = None
     cfg_c = dataclasses.replace(cfg, max_outer=min(chunk, cfg.max_outer))
     while total < cfg.max_outer:
-        res = rtr(P, G, M, X, cfg_c)
+        res = rtr(P, G, M, X, cfg_c, be=be)
         X = res.X
         total += int(res.outer_iters)
         if float(res.gradnorm_final) < cfg.gradnorm_tol or \
                 int(res.outer_iters) < cfg_c.max_outer:
             break
     if res is None:
-        res = rtr(P, G, M, X, dataclasses.replace(cfg, max_outer=1))
+        res = rtr(P, G, M, X, dataclasses.replace(cfg, max_outer=1), be=be)
     return RTRResult(X=res.X, f_final=res.f_final,
                      gradnorm_final=res.gradnorm_final,
                      outer_iters=jnp.asarray(total),
@@ -376,5 +480,5 @@ def rgd_step(P: ProblemData, G: RAState, M: Optional[Preconditioner],
     (reference: QuadraticOptimizer.cpp:110-180)."""
     grad = riemannian_gradient(P, X, G)
     if M is not None:
-        grad = _apply_precond(M, X, grad)
+        grad = RA_BACKEND.precond(P, M, X, grad)
     return retract(X, grad.scale(-stepsize))

@@ -1,0 +1,567 @@
+"""Block-sparse tiled form of Q and the flat TPU state layout.
+
+This is the speed-of-light path for the reference's two hottest loops -- the
+tCG Hessian SpMM `V Q` (QuadraticProblem.cpp:61-68) and the Lanczos SpMVs of
+certification (DCORA_utils.cpp:1807-1896).  Rationale (measured on TPU v5e,
+city10000, rank 5):
+
+  * XLA gathers with ~20-byte rows (the ELL fast path of problem.py) run at
+    ~1/30 of HBM bandwidth: the TPU fetches 512-byte lanes per row.
+  * Reordering the pose graph with reverse Cuthill-McKee collapses the
+    scalar matrix Q into a narrow band (bandwidth 182 poses on city10000),
+    so Q partitions into a few hundred dense 128x128 tiles.
+  * The SpMM then becomes `gather 4 KB X-tiles -> batched MXU matmul ->
+    segment-sum 4 KB W-tiles`, all at hardware-friendly granularity:
+    ~130 us sequential vs ~4200 us for the ELL gather path.
+
+Layout contract
+---------------
+The flat state is one array  Xf in R^{r_pad x kpad}  over the *tiled scalar
+ordering*: poses first (RCM order, interleaved [Y_i | p_i] like the
+reference's SE layout, Elements.h:178), then unit spheres, then landmarks
+(each section sorted by RCM rank), zero-padded to kpad = nt * T.  Zero rank
+rows above the working rank stay zero under every op here, which preserves
+the fixed-allocation Riemannian staircase of the RAState path.
+
+Only *local* variables appear: measurement endpoints living on fixed
+neighbor slots are dropped at build time (they belong to the linear term G,
+which callers convert with :func:`to_flat`).
+
+Numerics: the tiles multiply out the scalar entries of Q like the
+reference's assembled sparse matrix (Graph.cpp:579-683), so applying them
+costs the same ~6-digit cancellation near the optimum as the reference's
+own `EucHessianEta`; pair the f32 tiles with an f64 refinement pass for
+reference-precision results.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dcora_tpu.core.lifted import RAState
+from dcora_tpu.core import problem as prob
+from dcora_tpu.types import ProblemDims
+
+
+class TiledQ(NamedTuple):
+    """Block-sparse Q over the tiled scalar ordering (device arrays)."""
+
+    tiles: jax.Array       # f[m, T, T] dense tile data, sorted by tile_col
+    tile_rows: jax.Array   # i32[m]
+    tile_cols: jax.Array   # i32[m]
+    # lane-permutation maps between RA scalar ordering and flat ordering
+    ra_of_fl: jax.Array    # i32[kpad]; k points at an appended zero column
+    fl_of_ra: jax.Array    # i32[k]
+
+
+@dataclasses.dataclass(frozen=True)
+class TiledMeta:
+    """Static layout info (hashable; safe as a jit static argument)."""
+
+    d: int
+    n: int
+    l: int  # noqa: E741
+    b: int
+    T: int
+    nt: int
+
+    @property
+    def dh(self) -> int:
+        return self.d + 1
+
+    @property
+    def k(self) -> int:
+        return self.dh * self.n + self.l + self.b
+
+    @property
+    def kpad(self) -> int:
+        return self.nt * self.T
+
+    @property
+    def pose_end(self) -> int:
+        return self.dh * self.n
+
+    @property
+    def sph_end(self) -> int:
+        return self.dh * self.n + self.l
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["Q", "pose_inv", "sph_inv", "lmk_inv"],
+    meta_fields=["meta"],
+)
+@dataclasses.dataclass(frozen=True)
+class TiledProblem:
+    """Everything the flat solver needs on device.
+
+    `meta` is static pytree metadata: passing a TiledProblem through jit
+    retraces only when the layout (not the data) changes.
+    """
+
+    Q: TiledQ
+    pose_inv: jax.Array      # f[n, dh, dh] block-Jacobi inverses (RCM order)
+    sph_inv: jax.Array       # f[l]
+    lmk_inv: jax.Array       # f[b]
+    meta: TiledMeta = None
+
+
+# --------------------------------------------------------------------------
+# Host-side build
+# --------------------------------------------------------------------------
+
+
+def _rcm_node_order(P: prob.ProblemData, dims: ProblemDims):
+    """Reverse Cuthill-McKee over the variable graph (poses+spheres+lmks)."""
+    import scipy.sparse as sp
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+    n, l, b = dims.n, dims.l, dims.b
+    nn = n + l + b
+
+    def node_of_trans(t):
+        # translation index t: pose (t < n) or landmark
+        return np.where(t < n, t, n + l + (t - n))
+
+    ei, ej = [], []
+
+    def add(a, b_, ok):
+        ei.append(a[ok])
+        ej.append(b_[ok])
+
+    pp_i = np.asarray(P.pp_ri)
+    pp_j = np.asarray(P.pp_rj)
+    ok = (pp_i < n) & (pp_j < n)
+    add(pp_i, pp_j, ok)
+
+    pl_i = np.asarray(P.pl_ri)
+    pl_j = np.asarray(P.pl_tj)
+    ok = (pl_i < n) & (pl_j >= n) & (pl_j < n + b)
+    add(pl_i, node_of_trans(pl_j), ok)
+
+    rg_a = np.asarray(P.rg_ti)
+    rg_b = np.asarray(P.rg_tj)
+    rg_q = np.asarray(P.rg_q)
+    ok_ab = (rg_a < n + b) & (rg_b < n + b)
+    add(node_of_trans(rg_a), node_of_trans(rg_b), ok_ab)
+    ok_q = (rg_q < l) & (rg_a < n + b)
+    add(node_of_trans(rg_a), n + rg_q, ok_q)
+    ok_q2 = (rg_q < l) & (rg_b < n + b)
+    add(node_of_trans(rg_b), n + rg_q, ok_q2)
+
+    if ei:
+        ei = np.concatenate(ei)
+        ej = np.concatenate(ej)
+    else:
+        ei = ej = np.zeros(0, np.int64)
+    A = sp.coo_matrix((np.ones(len(ei)), (ei, ej)), shape=(nn, nn))
+    order = reverse_cuthill_mckee((A + A.T).tocsr(), symmetric_mode=True)
+
+    pose_rank = np.full(n, -1, np.int64)
+    sph_rank = np.full(l, -1, np.int64)
+    lmk_rank = np.full(b, -1, np.int64)
+    pc = sc = lc = 0
+    for node in order:
+        if node < n:
+            pose_rank[node] = pc
+            pc += 1
+        elif node < n + l:
+            sph_rank[node - n] = sc
+            sc += 1
+        else:
+            lmk_rank[node - n - l] = lc
+            lc += 1
+    return pose_rank, sph_rank, lmk_rank
+
+
+def _scalar_maps(dims: ProblemDims, pose_rank, sph_rank, lmk_rank,
+                 n_aug_pose: int, t_aug: int, l_aug: int):
+    """Lookup arrays from augmented endpoint indices to flat scalar columns.
+
+    -1 marks fixed-neighbor slots (dropped: their coupling lives in G).
+    Returns (rot_base[n_aug_pose], trn_col[t_aug], sph_col[l_aug]).
+    """
+    n, l, b, dh = dims.n, dims.l, dims.b, dims.d + 1
+    rot_base = np.full(max(n_aug_pose, 1), -1, np.int64)
+    rot_base[:n] = pose_rank * dh
+    trn_col = np.full(max(t_aug, 1), -1, np.int64)
+    trn_col[:n] = pose_rank * dh + dims.d
+    if b:
+        trn_col[n:n + b] = n * dh + l + lmk_rank
+    sph_col = np.full(max(l_aug, 1), -1, np.int64)
+    if l:
+        sph_col[:l] = n * dh + sph_rank
+    return rot_base, trn_col, sph_col
+
+
+def _scalar_coo(P: prob.ProblemData, dims: ProblemDims,
+                rot_base, trn_col, sph_col):
+    """Emit the scalar COO of the local Q in the flat ordering.
+
+    Mirrors the closed-form per-edge blocks of problem.build_ell /
+    Graph.cpp:579-683,824-1188; entries whose row or column maps to -1
+    (fixed neighbor slots) are dropped.
+    """
+    d = dims.d
+    rows_all, cols_all, vals_all = [], [], []
+    ar = np.arange(d)
+
+    def emit(r_, c_, v):
+        r_, c_, v = np.broadcast_arrays(r_, c_, v)
+        ok = (r_ >= 0) & (c_ >= 0)
+        rows_all.append(r_[ok].ravel())
+        cols_all.append(c_[ok].ravel())
+        vals_all.append(v[ok].ravel())
+
+    def col_or_neg(base, idx):
+        return np.where(idx < len(base), base[np.minimum(idx, len(base) - 1)],
+                        -1)
+
+    mpp = int(P.pp_ri.shape[0])
+    if mpp:
+        ri = col_or_neg(rot_base, np.asarray(P.pp_ri))
+        rj = col_or_neg(rot_base, np.asarray(P.pp_rj))
+        Ti = col_or_neg(trn_col, np.asarray(P.pp_ti))
+        Tj = col_or_neg(trn_col, np.asarray(P.pp_tj))
+        R = np.asarray(P.pp_R)
+        t = np.asarray(P.pp_t)
+        w = np.asarray(P.pp_w) * np.asarray(P.pp_active)
+        kw = np.asarray(P.pp_kappa) * w
+        tw = np.asarray(P.pp_tau) * w
+        Ri = np.where(ri[:, None] >= 0, ri[:, None] + ar, -1)
+        Rj = np.where(rj[:, None] >= 0, rj[:, None] + ar, -1)
+        eye = np.eye(d)
+        emit(Ri[:, :, None], Ri[:, None, :],
+             kw[:, None, None] * eye
+             + tw[:, None, None] * t[:, :, None] * t[:, None, :])
+        emit(Rj, Rj, np.broadcast_to(kw[:, None], (mpp, d)))
+        V = -kw[:, None, None] * R
+        emit(Ri[:, :, None], Rj[:, None, :], V)
+        emit(Rj[:, None, :], Ri[:, :, None], V)
+        v = tw[:, None] * t
+        emit(Ri, Ti[:, None], v)
+        emit(Ti[:, None], Ri, v)
+        emit(Ri, Tj[:, None], -v)
+        emit(Tj[:, None], Ri, -v)
+        emit(Ti, Ti, tw)
+        emit(Tj, Tj, tw)
+        emit(Ti, Tj, -tw)
+        emit(Tj, Ti, -tw)
+
+    mpl = int(P.pl_ri.shape[0])
+    if mpl:
+        ri = col_or_neg(rot_base, np.asarray(P.pl_ri))
+        Ti = col_or_neg(trn_col, np.asarray(P.pl_ti))
+        Tj = col_or_neg(trn_col, np.asarray(P.pl_tj))
+        t = np.asarray(P.pl_t)
+        tw = np.asarray(P.pl_tau) * np.asarray(P.pl_w) * \
+            np.asarray(P.pl_active)
+        Ri = np.where(ri[:, None] >= 0, ri[:, None] + ar, -1)
+        emit(Ri[:, :, None], Ri[:, None, :],
+             tw[:, None, None] * t[:, :, None] * t[:, None, :])
+        v = tw[:, None] * t
+        emit(Ri, Ti[:, None], v)
+        emit(Ti[:, None], Ri, v)
+        emit(Ri, Tj[:, None], -v)
+        emit(Tj[:, None], Ri, -v)
+        emit(Ti, Ti, tw)
+        emit(Tj, Tj, tw)
+        emit(Ti, Tj, -tw)
+        emit(Tj, Ti, -tw)
+
+    mrg = int(P.rg_ti.shape[0])
+    if mrg:
+        Ta = col_or_neg(trn_col, np.asarray(P.rg_ti))
+        Tb = col_or_neg(trn_col, np.asarray(P.rg_tj))
+        Sq = col_or_neg(sph_col, np.asarray(P.rg_q))
+        rho = np.asarray(P.rg_rho)
+        om = np.asarray(P.rg_prec) * np.asarray(P.rg_w) * \
+            np.asarray(P.rg_active)
+        emit(Sq, Sq, om * rho * rho)
+        emit(Sq, Ta, -om * rho)
+        emit(Ta, Sq, -om * rho)
+        emit(Sq, Tb, om * rho)
+        emit(Tb, Sq, om * rho)
+        emit(Ta, Ta, om)
+        emit(Tb, Tb, om)
+        emit(Ta, Tb, -om)
+        emit(Tb, Ta, -om)
+
+    if P.prior_kdiag is not None:
+        kd = np.asarray(P.prior_kdiag)
+        base = rot_base[:dims.n]
+        Ri = np.where(base[:, None] >= 0, base[:, None] + ar, -1)
+        emit(Ri, Ri, np.broadcast_to(kd[:, None], (dims.n, d)))
+    if P.prior_tdiag is not None:
+        td = np.asarray(P.prior_tdiag)
+        Ti = trn_col[:dims.num_trans]
+        emit(Ti, Ti, td)
+
+    if rows_all:
+        return (np.concatenate(rows_all), np.concatenate(cols_all),
+                np.concatenate(vals_all))
+    return (np.zeros(0, np.int64), np.zeros(0, np.int64), np.zeros(0))
+
+
+def build_tiled(P: prob.ProblemData, dims: ProblemDims, T: int = 128,
+                dtype=np.float32,
+                precond: Optional[prob.Preconditioner] = None,
+                reg: float = 0.1) -> TiledProblem:
+    """Host-side: RCM order, tile the scalar Q, invert the Jacobi blocks.
+
+    `dtype` selects the tile precision (f32 for the TPU hot path; f64 for
+    exact oracles / the refinement phase).  `precond` reuses an existing
+    block-Jacobi factorization; otherwise one is built with regularization
+    `reg` (reference PGO value 0.1, Graph.cpp:1901-1917).
+    """
+    n, l, b, d = dims.n, dims.l, dims.b, dims.d
+    dh = d + 1
+    pose_rank, sph_rank, lmk_rank = _rcm_node_order(P, dims)
+
+    def amax(a):
+        return int(np.asarray(a).max(initial=-1)) + 1
+
+    n_aug_pose = max(n, amax(P.pp_ri), amax(P.pp_rj), amax(P.pl_ri))
+    t_aug = max(dims.num_trans, amax(P.pp_ti), amax(P.pp_tj),
+                amax(P.pl_ti), amax(P.pl_tj), amax(P.rg_ti), amax(P.rg_tj))
+    l_aug = max(l, amax(P.rg_q))
+
+    rot_base, trn_col, sph_col = _scalar_maps(
+        dims, pose_rank, sph_rank, lmk_rank, n_aug_pose, t_aug, l_aug)
+    rows, cols, vals = _scalar_coo(P, dims, rot_base, trn_col, sph_col)
+
+    k = dh * n + l + b
+    nt = max(-(-k // T), 1)
+    kpad = nt * T
+
+    # dedupe scalar entries, then fill dense tiles
+    import scipy.sparse as sp
+    A = sp.coo_matrix((vals, (rows, cols)), shape=(k, k)).tocsr()
+    A.sum_duplicates()
+    Ac = A.tocoo()
+    tr = (Ac.row // T).astype(np.int64)
+    tc = (Ac.col // T).astype(np.int64)
+    keys, inv = np.unique(tr * nt + tc, return_inverse=True)
+    trow = (keys // nt).astype(np.int32)
+    tcol = (keys % nt).astype(np.int32)
+    ntiles = max(len(keys), 1)
+    dense = np.zeros((ntiles, T, T), np.float64)
+    if len(keys):
+        np.add.at(dense, (inv, Ac.row - tr * T, Ac.col - tc * T), Ac.data)
+    else:
+        trow = np.zeros(1, np.int32)
+        tcol = np.zeros(1, np.int32)
+    # sort by output tile (column) for a cheap segment-sum
+    order = np.argsort(tcol, kind="stable")
+    dense, trow, tcol = dense[order], trow[order], tcol[order]
+
+    # scalar ordering maps (RA ordering as in problem._apply_ell:
+    # rot (i,a) -> i*d + a, spheres, then translations)
+    fl_of_ra = np.empty(k, np.int64)
+    fl_of_ra[:n * d] = pose_rank[np.arange(n * d) // d] * dh + \
+        (np.arange(n * d) % d)
+    if l:
+        fl_of_ra[n * d:n * d + l] = n * dh + sph_rank
+    fl_of_ra[n * d + l:n * d + l + n] = pose_rank * dh + d
+    if b:
+        fl_of_ra[n * d + l + n:] = n * dh + l + lmk_rank
+    ra_of_fl = np.full(kpad, k, np.int64)
+    ra_of_fl[fl_of_ra] = np.arange(k)
+
+    meta = TiledMeta(d=d, n=n, l=l, b=b, T=T, nt=nt)
+    Q = TiledQ(
+        tiles=jnp.asarray(dense.astype(dtype)),
+        tile_rows=jnp.asarray(trow),
+        tile_cols=jnp.asarray(tcol),
+        ra_of_fl=jnp.asarray(ra_of_fl.astype(np.int32)),
+        fl_of_ra=jnp.asarray(fl_of_ra.astype(np.int32)),
+    )
+
+    # block-Jacobi preconditioner in flat (RCM) order
+    M = precond if precond is not None else \
+        prob.build_preconditioner(P, n, l, b, d, reg)
+    perm = np.argsort(pose_rank)  # original pose index at each RCM slot
+    pose_inv = jnp.asarray(np.asarray(M.pose_inv)[perm].astype(dtype))
+    sph_d = np.asarray(M.sph_diag)
+    lmk_d = np.asarray(M.lmk_diag)
+    sph_inv = np.zeros(max(l, 0))
+    lmk_inv = np.zeros(max(b, 0))
+    if l:
+        sph_inv[sph_rank] = 1.0 / np.where(sph_d == 0, 1.0, sph_d)
+    if b:
+        lmk_inv[lmk_rank] = 1.0 / np.where(lmk_d == 0, 1.0, lmk_d)
+    return TiledProblem(
+        Q=Q, meta=meta,
+        pose_inv=pose_inv,
+        sph_inv=jnp.asarray(sph_inv.astype(dtype)),
+        lmk_inv=jnp.asarray(lmk_inv.astype(dtype)),
+    )
+
+
+# --------------------------------------------------------------------------
+# Device ops (all shapes static; n in the lane dimension throughout)
+# --------------------------------------------------------------------------
+
+
+def apply_tiled(TP: TiledProblem, Xf: jax.Array) -> jax.Array:
+    """W = Xf Q (symmetric Q):  [r_pad, kpad] -> [r_pad, kpad].
+
+    gather 4 KB X tiles -> batched MXU matmul -> segment-sum into W tiles.
+    """
+    meta = TP.meta
+    r_pad = Xf.shape[0]
+    Xt = Xf.reshape(r_pad, meta.nt, meta.T).transpose(1, 0, 2)  # [nt, r, T]
+    Xg = Xt[TP.Q.tile_rows]                                     # [m, r, T]
+    Yg = jax.lax.dot_general(
+        Xg, TP.Q.tiles.astype(Xf.dtype),
+        (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=Xf.dtype,
+    )
+    W = jax.ops.segment_sum(Yg, TP.Q.tile_cols, num_segments=meta.nt)
+    return W.transpose(1, 0, 2).reshape(r_pad, meta.kpad)
+
+
+def to_flat(TP: TiledProblem, X: RAState, r_pad: Optional[int] = None
+            ) -> jax.Array:
+    """RAState -> flat [r_pad, kpad] (tiled ordering)."""
+    from dcora_tpu.core import lifted
+
+    ra = lifted.to_flat(X)  # [r, k]
+    if r_pad is not None and r_pad > ra.shape[0]:
+        ra = jnp.pad(ra, ((0, r_pad - ra.shape[0]), (0, 0)))
+    zero = jnp.zeros((ra.shape[0], 1), ra.dtype)
+    return jnp.concatenate([ra, zero], axis=1)[:, TP.Q.ra_of_fl]
+
+
+def from_flat(TP: TiledProblem, Xf: jax.Array, r: Optional[int] = None
+              ) -> RAState:
+    """Flat [r_pad, kpad] -> RAState (optionally truncating rank rows)."""
+    from dcora_tpu.core import lifted
+
+    ra = Xf[:, TP.Q.fl_of_ra]
+    if r is not None:
+        ra = ra[:r]
+    return lifted.from_flat(ra, ProblemDims(TP.meta.d, TP.meta.n,
+                                            TP.meta.l, TP.meta.b))
+
+
+def _pose3(meta: TiledMeta, Xf: jax.Array) -> jax.Array:
+    """[r, n, dh] view of the pose section."""
+    return Xf[:, :meta.pose_end].reshape(Xf.shape[0], meta.n, meta.dh)
+
+
+def _sections(meta: TiledMeta, Xf: jax.Array):
+    pose = _pose3(meta, Xf)
+    sph = Xf[:, meta.pose_end:meta.sph_end]
+    tail = Xf[:, meta.sph_end:]  # landmarks + padding
+    return pose, sph, tail
+
+
+def _join(meta: TiledMeta, pose, sph, tail) -> jax.Array:
+    r_pad = pose.shape[0]
+    return jnp.concatenate(
+        [pose.reshape(r_pad, meta.pose_end), sph, tail], axis=1
+    )
+
+
+def tangent_project_flat(meta: TiledMeta, Xf: jax.Array,
+                         Vf: jax.Array) -> jax.Array:
+    """V - Y sym(Y^T V) on Stiefel blocks; sphere de-projection; id on R.
+
+    Flat-layout equivalent of manifold.tangent_project
+    (reference: DCORA_utils.cpp:2033-2051).
+    """
+    Xp, Xs, _ = _sections(meta, Xf)
+    Vp, Vs, Vt = _sections(meta, Vf)
+    d = meta.d
+    Y = Xp[:, :, :d]     # [r, n, d]
+    VY = Vp[:, :, :d]
+    # S[n, a, b] = sym( sum_rho Y[rho,n,a] V[rho,n,b] )
+    S = jnp.einsum("rna,rnb->nab", Y, VY)
+    S = 0.5 * (S + jnp.swapaxes(S, -1, -2))
+    rot = VY - jnp.einsum("rnb,nba->rna", Y, S)
+    pose = jnp.concatenate([rot, Vp[:, :, d:]], axis=2)
+    if meta.l:
+        inner = jnp.sum(Xs * Vs, axis=0, keepdims=True)
+        sph = Vs - Xs * inner
+    else:
+        sph = Vs
+    return _join(meta, pose, sph, Vt)
+
+
+def weingarten_flat(meta: TiledMeta, Xf: jax.Array, eta: jax.Array,
+                    egrad: jax.Array) -> jax.Array:
+    """Curvature term of the Riemannian Hessian (cf. the RA backend weingarten in rtr.py)."""
+    Xp, Xs, _ = _sections(meta, Xf)
+    Ep, Es, _ = _sections(meta, eta)
+    Gp, Gs, Gt = _sections(meta, egrad)
+    d = meta.d
+    Y = Xp[:, :, :d]
+    Gy = Gp[:, :, :d]
+    S = jnp.einsum("rna,rnb->nab", Y, Gy)
+    S = 0.5 * (S + jnp.swapaxes(S, -1, -2))
+    rot = jnp.einsum("rnb,nba->rna", Ep[:, :, :d], S)
+    pose = jnp.concatenate([rot, jnp.zeros_like(Ep[:, :, d:])], axis=2)
+    if meta.l:
+        sph = Es * jnp.sum(Xs * Gs, axis=0, keepdims=True)
+    else:
+        sph = Es
+    return _join(meta, pose, sph, jnp.zeros_like(Gt))
+
+
+def precondition_flat(TP: TiledProblem, Vf: jax.Array) -> jax.Array:
+    """Block-Jacobi solve in flat layout (cf. prob.apply_preconditioner)."""
+    meta = TP.meta
+    Vp, Vs, Vt = _sections(meta, Vf)
+    pose = jnp.einsum("rnc,nce->rne", Vp, TP.pose_inv.astype(Vf.dtype))
+    if meta.l:
+        sph = Vs * TP.sph_inv.astype(Vf.dtype)[None, :]
+    else:
+        sph = Vs
+    if meta.b:
+        lmk = Vt[:, :meta.b] * TP.lmk_inv.astype(Vf.dtype)[None, :]
+        tail = jnp.concatenate([lmk, Vt[:, meta.b:]], axis=1)
+    else:
+        tail = Vt
+    return _join(meta, pose, sph, tail)
+
+
+def retract_flat(meta: TiledMeta, Xf: jax.Array, Vf: jax.Array) -> jax.Array:
+    """Polar retraction on Stiefel blocks, normalize spheres, add elsewhere."""
+    from dcora_tpu.core.manifold import _inv_sqrt_psd
+
+    Xp, Xs, Xt = _sections(meta, Xf)
+    Vp, Vs, Vt = _sections(meta, Vf)
+    d = meta.d
+    A = Xp[:, :, :d] + Vp[:, :, :d]                 # [r, n, d]
+    Gm = jnp.einsum("rna,rnb->nab", A, A)           # [n, d, d]
+    rot = jnp.einsum("rnb,nba->rna", A, _inv_sqrt_psd(Gm))
+    pose = jnp.concatenate([rot, Xp[:, :, d:] + Vp[:, :, d:]], axis=2)
+    if meta.l:
+        S = Xs + Vs
+        nrm = jnp.linalg.norm(S, axis=0, keepdims=True)
+        sph = S / jnp.where(nrm == 0, 1.0, nrm)
+    else:
+        sph = Xs + Vs
+    return _join(meta, pose, sph, Xt + Vt)
+
+
+def cost_flat(TP: TiledProblem, Xf: jax.Array,
+              Gf: Optional[jax.Array] = None):
+    """f = 0.5 <Xf Q, Xf> + <Xf, Gf>."""
+    f = 0.5 * jnp.vdot(apply_tiled(TP, Xf), Xf)
+    if Gf is not None:
+        f = f + jnp.vdot(Xf, Gf)
+    return f
+
+
+def egrad_flat(TP: TiledProblem, Xf: jax.Array,
+               Gf: Optional[jax.Array] = None) -> jax.Array:
+    W = apply_tiled(TP, Xf)
+    return W if Gf is None else W + Gf

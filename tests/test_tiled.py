@@ -1,0 +1,206 @@
+"""Tiled block-sparse path vs. the RAState edge path (oracle tests).
+
+The flat layout (tiled.py) must reproduce the edge-path cost engine
+(problem.py) exactly when built at f64: same Q operator, same tangent
+projections, same preconditioner, same RTR result.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dcora_tpu.core import lifted, manifold, tiled
+from dcora_tpu.core import problem as prob
+from dcora_tpu.core.graph import LocalGraph
+from dcora_tpu.core.rtr import (
+    FLAT_BACKEND,
+    RTRConfig,
+    riemannian_gradient,
+    rtr,
+    rtr_flat,
+)
+from dcora_tpu.io import read_g2o_file, read_pyfg_file
+from dcora_tpu.measurements import (
+    RangeMeasurement,
+    RelativePoseLandmarkMeasurement,
+    RelativePosePoseMeasurement,
+)
+from dcora_tpu.types import ProblemDims, StateType
+
+
+def _random_ra_graph(rng, n=7, l=4, b=3, d=3):  # noqa: E741
+    """A local graph with all measurement types, weights, and a prior."""
+    ms = []
+    for i in range(n - 1):
+        R = np.asarray(
+            manifold.rotation_project(jnp.asarray(rng.standard_normal((d, d))))
+        )
+        ms.append(RelativePosePoseMeasurement(
+            0, i, 0, i + 1, R, rng.standard_normal(d),
+            kappa=rng.uniform(1, 5), tau=rng.uniform(1, 5),
+            weight=rng.uniform(0.3, 1.0)))
+    for j in range(b):
+        i = int(rng.integers(n))
+        ms.append(RelativePoseLandmarkMeasurement(
+            0, i, 0, j, rng.standard_normal(d), tau=rng.uniform(1, 5),
+            weight=rng.uniform(0.3, 1.0)))
+    for q in range(l):
+        i = int(rng.integers(n))
+        j = int(rng.integers(b)) if b else int(rng.integers(n))
+        st2 = StateType.Landmark if b else StateType.Pose
+        ms.append(RangeMeasurement(
+            0, i, 0, j, StateType.Pose, st2, q,
+            float(rng.uniform(0.5, 3.0)),
+            precision=rng.uniform(1, 5), weight=rng.uniform(0.3, 1.0)))
+    g = LocalGraph(0, d, d)
+    g.set_measurements(ms)
+    P0 = np.zeros((d, d + 1))
+    P0[:, :d] = np.eye(d)
+    g.set_prior(0, P0)
+    return g
+
+
+@pytest.mark.parametrize("T", [16, 128])
+def test_apply_tiled_matches_edge_path_ra(T):
+    rng = np.random.default_rng(0)
+    g = _random_ra_graph(rng)
+    P = g.problem_data()
+    TP = tiled.build_tiled(P, g.dims, T=T, dtype=np.float64)
+    X = manifold.random_state(jax.random.PRNGKey(1), g.dims, g.d)
+
+    W_ref = prob.apply_Q(P, X, prefer_ell=False)
+    Xf = tiled.to_flat(TP, X)
+    Wf = tiled.apply_tiled(TP, Xf)
+    W = tiled.from_flat(TP, Wf)
+
+    np.testing.assert_allclose(np.asarray(W.rot), np.asarray(W_ref.rot),
+                               atol=1e-10)
+    np.testing.assert_allclose(np.asarray(W.sph), np.asarray(W_ref.sph),
+                               atol=1e-10)
+    np.testing.assert_allclose(np.asarray(W.trn), np.asarray(W_ref.trn),
+                               atol=1e-10)
+
+    # cost agreement
+    f_ref = float(prob.cost(P, X))
+    f_fl = float(tiled.cost_flat(TP, Xf))
+    np.testing.assert_allclose(f_fl, f_ref, rtol=1e-12)
+
+
+def test_flat_roundtrip_and_rank_padding():
+    rng = np.random.default_rng(1)
+    g = _random_ra_graph(rng)
+    P = g.problem_data()
+    TP = tiled.build_tiled(P, g.dims, T=32, dtype=np.float64)
+    X = manifold.random_state(jax.random.PRNGKey(2), g.dims, g.d)
+    Xf = tiled.to_flat(TP, X, r_pad=8)
+    assert Xf.shape[0] == 8
+    # rows above rank stay zero, pad columns stay zero
+    assert float(jnp.abs(Xf[g.d:]).max()) == 0.0
+    X2 = tiled.from_flat(TP, Xf, r=g.d)
+    np.testing.assert_allclose(np.asarray(X2.rot), np.asarray(X.rot),
+                               atol=0)
+    np.testing.assert_allclose(np.asarray(X2.trn), np.asarray(X.trn),
+                               atol=0)
+
+
+def test_tangent_precond_retract_match_rastate():
+    rng = np.random.default_rng(2)
+    g = _random_ra_graph(rng)
+    P = g.problem_data()
+    TP = tiled.build_tiled(P, g.dims, T=32, dtype=np.float64)
+    key = jax.random.PRNGKey(3)
+    X = manifold.random_state(key, g.dims, g.d)
+    V = manifold.random_state(jax.random.split(key)[0], g.dims, g.d)
+    Xf = tiled.to_flat(TP, X)
+    Vf = tiled.to_flat(TP, V)
+
+    # tangent projection
+    T_ref = manifold.tangent_project(X, V)
+    T_fl = tiled.from_flat(TP, tiled.tangent_project_flat(TP.meta, Xf, Vf))
+    for a, b in zip(jax.tree.leaves(T_fl), jax.tree.leaves(T_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-12)
+
+    # preconditioner (reference reg 0.1 used in both builds)
+    M = prob.build_preconditioner(P, g.n, g.l, g.b, g.d, 0.1)
+    P_ref = prob.apply_preconditioner(M, V)
+    P_fl = tiled.from_flat(TP, tiled.precondition_flat(TP, Vf))
+    for a, b in zip(jax.tree.leaves(P_fl), jax.tree.leaves(P_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-10)
+
+    # retraction (along a genuine tangent step so the polar factor exists)
+    Vt = manifold.tangent_project(X, V).scale(0.1)
+    Vtf = tiled.to_flat(TP, Vt)
+    R_ref = manifold.retract(X, Vt)
+    R_fl = tiled.from_flat(TP, tiled.retract_flat(TP.meta, Xf, Vtf))
+    for a, b in zip(jax.tree.leaves(R_fl), jax.tree.leaves(R_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-10)
+    # manifold feasibility preserved
+    assert float(manifold.manifold_error(R_fl)) < 1e-12
+
+
+def test_rtr_flat_matches_rastate_rtr_tinygrid(data_dir):
+    """Full RTR on tinyGrid3D: flat f64 path lands on the same optimum."""
+    ds = read_g2o_file(f"{data_dir}/tinyGrid3D.g2o")
+    r, d = 5, ds.dim
+    g = LocalGraph(0, r, d)
+    g.set_measurements(ds.pose_pose_measurements)
+    P = g.problem_data()
+    from dcora_tpu.solvers import make_preconditioner
+
+    M = make_preconditioner(g, P)
+    G = lifted.zeros(g.dims, r)
+    from dcora_tpu.core.init import odometry_initialization
+
+    T = odometry_initialization(
+        [m for m in ds.pose_pose_measurements if m.p1 + 1 == m.p2]
+    )
+    X0 = lifted.pad_rank(lifted.from_pose_array(T), r)
+    cfg = RTRConfig(gradnorm_tol=1e-6, max_outer=50, max_inner=50)
+
+    res_ref = rtr(P, G, M, X0, cfg)
+
+    TP = tiled.build_tiled(P, g.dims, T=64, dtype=np.float64)
+    Xf0 = tiled.to_flat(TP, X0, r_pad=8)
+    Gf = tiled.to_flat(TP, G, r_pad=8)
+    res_fl = rtr_flat(TP, Gf, Xf0, cfg)
+
+    np.testing.assert_allclose(float(res_fl.f_final),
+                               float(res_ref.f_final), rtol=1e-8)
+    assert float(res_fl.gradnorm_final) < 1e-6
+    X_out = tiled.from_flat(TP, res_fl.X, r=r)
+    assert float(manifold.manifold_error(X_out)) < 1e-9
+    # the f64 gradient of the edge path agrees the flat solution is critical
+    gn = float(riemannian_gradient(P, X_out, G).norm())
+    assert gn < 1e-5
+
+
+def test_rtr_flat_f32_coarse_phase(data_dir):
+    """f32 tiles drive the cost near the optimum (TPU hot-path configuration),
+    then an f64 edge-path refine finishes to reference tolerance."""
+    ds = read_g2o_file(f"{data_dir}/tinyGrid3D.g2o")
+    r, d = 5, ds.dim
+    g = LocalGraph(0, r, d)
+    g.set_measurements(ds.pose_pose_measurements)
+    P = g.problem_data()
+    from dcora_tpu.core.init import odometry_initialization
+    from dcora_tpu.solvers import make_preconditioner
+
+    T = odometry_initialization(
+        [m for m in ds.pose_pose_measurements if m.p1 + 1 == m.p2]
+    )
+    X0 = lifted.pad_rank(lifted.from_pose_array(T), r)
+    G = lifted.zeros(g.dims, r)
+    TP = tiled.build_tiled(P, g.dims, T=64, dtype=np.float32)
+    Xf0 = tiled.to_flat(TP, X0, r_pad=8).astype(jnp.float32)
+    cfg = RTRConfig(gradnorm_tol=1e-3, max_outer=100, max_inner=50)
+    res32 = rtr_flat(TP, None, Xf0, cfg)
+
+    X_warm = manifold.project(
+        jax.tree.map(lambda a: a.astype(jnp.float64),
+                     tiled.from_flat(TP, res32.X, r=r))
+    )
+    M = make_preconditioner(g, P)
+    res = rtr(P, G, M, X_warm, RTRConfig(gradnorm_tol=1e-8, max_outer=30,
+                                         max_inner=100))
+    assert float(res.gradnorm_final) < 1e-8
