@@ -92,43 +92,41 @@ def measure_cpu_baseline(ds, n, d):
 
 def main():
     import jax
+    import jax.numpy as jnp
+    import numpy as np
 
     import dcora_tpu  # noqa: F401
-    from dcora_tpu.core import lifted
+    from dcora_tpu.core import lifted, tiled
     from dcora_tpu.core.graph import LocalGraph
     from dcora_tpu.core.init import odometry_initialization
-    from dcora_tpu.core.lifted import RAState
-    from dcora_tpu.core.rtr import RTRConfig, _rtr_impl
+    from dcora_tpu.core.rtr import RTRConfig, rtr_flat
     from dcora_tpu.io import read_g2o_file
-    from dcora_tpu.solvers import make_preconditioner
 
     ds = read_g2o_file(DATASET)
     n, d = ds.num_poses, ds.dim
     g = LocalGraph(0, RANK, d)
     g.set_measurements(ds.pose_pose_measurements)
     P = g.problem_data()
-    M = make_preconditioner(g, P)
-    G = lifted.zeros(g.dims, RANK)
-    # force full outer iterations (no early exit) for stable timing.
-    # tcg_f32: the production TPU configuration -- the tCG inner loop runs
-    # in native f32 while the outer RTR (gradient, cost, rho acceptance)
-    # stays f64-verified; per-outer convergence matches the pure-f64 path
-    # (inexact Newton), so the CPU-f64 baseline comparison is apples to
-    # apples in iterations while the TPU exploits native-precision compute.
+    # TPU production path: RCM-tiled block-sparse Q (f32 tiles on the MXU)
+    # with flat-layout manifold ops; the same per-outer-iteration work as
+    # the CPU baseline (up to TCG_ITERS preconditioned tCG steps + the
+    # trust-region accept/reject evaluations).  f64-refinement parity of
+    # this path is covered by tests/test_tiled.py.
+    TP = tiled.build_tiled(P, g.dims, T=128, dtype=np.float32)
     cfg = RTRConfig(gradnorm_tol=1e-300, max_outer=OUTER_ITERS,
-                    max_inner=TCG_ITERS, tcg_f32=True)
+                    max_inner=TCG_ITERS)
 
     T = odometry_initialization(
         [m for m in ds.pose_pose_measurements if m.p1 + 1 == m.p2]
     )
     X0 = lifted.pad_rank(lifted.from_pose_array(T), RANK)
+    Xf0 = tiled.to_flat(TP, X0, r_pad=8).astype(jnp.float32)
 
-    step = jax.jit(lambda X: _rtr_impl(P, G, M, X, cfg))
-    res = step(X0)  # compile + warmup
+    res = rtr_flat(TP, None, Xf0, cfg)  # compile + warmup
     jax.block_until_ready(res.X)
 
     t0 = time.time()
-    res = step(X0)
+    res = rtr_flat(TP, None, Xf0, cfg)
     jax.block_until_ready(res.X)
     elapsed = time.time() - t0
     iters = int(res.outer_iters)

@@ -383,19 +383,46 @@ def build_tiled(P: prob.ProblemData, dims: ProblemDims, T: int = 128,
         fl_of_ra=jnp.asarray(fl_of_ra.astype(np.int32)),
     )
 
-    # block-Jacobi preconditioner in flat (RCM) order
-    M = precond if precond is not None else \
-        prob.build_preconditioner(P, n, l, b, d, reg)
-    perm = np.argsort(pose_rank)  # original pose index at each RCM slot
-    pose_inv = jnp.asarray(np.asarray(M.pose_inv)[perm].astype(dtype))
-    sph_d = np.asarray(M.sph_diag)
-    lmk_d = np.asarray(M.lmk_diag)
-    sph_inv = np.zeros(max(l, 0))
-    lmk_inv = np.zeros(max(b, 0))
-    if l:
-        sph_inv[sph_rank] = 1.0 / np.where(sph_d == 0, 1.0, sph_d)
-    if b:
-        lmk_inv[lmk_rank] = 1.0 / np.where(lmk_d == 0, 1.0, lmk_d)
+    # block-Jacobi preconditioner in flat (RCM) order.  The blocks are the
+    # diagonal (dh x dh) pose blocks and sphere/landmark scalars of the very
+    # CSR assembled above, so extract them host-side (numpy) instead of
+    # re-assembling on device (prob.build_preconditioner runs emulated-f64
+    # scatter/cholesky on TPU: ~60 s on city10000 vs ~50 ms here).
+    if precond is not None:
+        perm = np.argsort(pose_rank)  # original pose index at each RCM slot
+        pose_inv = jnp.asarray(
+            np.asarray(precond.pose_inv)[perm].astype(dtype))
+        sph_d = np.asarray(precond.sph_diag)
+        lmk_d = np.asarray(precond.lmk_diag)
+        sph_inv = np.zeros(max(l, 0))
+        lmk_inv = np.zeros(max(b, 0))
+        if l:
+            sph_inv[sph_rank] = 1.0 / np.where(sph_d == 0, 1.0, sph_d)
+        if b:
+            lmk_inv[lmk_rank] = 1.0 / np.where(lmk_d == 0, 1.0, lmk_d)
+    else:
+        # accumulate the diagonal (dh x dh) pose blocks straight from the
+        # raw COO (scipy fancy indexing on CSR is ~1000x slower)
+        pose_blocks = np.zeros((n, dh, dh))
+        in_pose = (rows < n * dh) & (rows // dh == cols // dh)
+        np.add.at(
+            pose_blocks,
+            (rows[in_pose] // dh, rows[in_pose] % dh, cols[in_pose] % dh),
+            vals[in_pose],
+        )
+        pose_blocks = pose_blocks + reg * np.eye(dh)
+        pose_inv = jnp.asarray(np.linalg.inv(pose_blocks).astype(dtype))
+        tail_diag = np.zeros(max(l + b, 1))
+        on_tail = (rows >= n * dh) & (rows == cols)
+        np.add.at(tail_diag, rows[on_tail] - n * dh, vals[on_tail])
+        sph_inv = np.zeros(max(l, 0))
+        lmk_inv = np.zeros(max(b, 0))
+        if l:
+            sd = tail_diag[:l] + reg
+            sph_inv[:] = 1.0 / np.where(sd == 0, 1.0, sd)
+        if b:
+            ld = tail_diag[l:l + b] + reg
+            lmk_inv[:] = 1.0 / np.where(ld == 0, 1.0, ld)
     return TiledProblem(
         Q=Q, meta=meta,
         pose_inv=pose_inv,
