@@ -1,0 +1,134 @@
+"""Pallas TPU kernel for the block-sparse symmetric SpMM  W = X Q.
+
+This is the single hottest op of the framework (the tCG Hessian product,
+reference QuadraticProblem.cpp:61-68).  The XLA tile path in tiled.py
+(gather -> batched dot_general -> segment_sum) reads every stored tile once
+and runs at ~2x the HBM-bandwidth bound because the three HLOs cannot fuse
+and each materializes its [m, r_pad, T] intermediate.
+
+This kernel exploits symmetry of Q: only the upper-triangular tiles
+(tile_row <= tile_col) are stored; each streamed tile A contributes
+
+    W[:, col]  +=  X[:, row] @ A
+    W[:, row]  +=  X[:, col] @ A^T        (skipped on diagonal tiles)
+
+with X and W resident in VMEM (r_pad x kpad f32 each; <= ~2.5 MB for every
+bundled dataset) and tiles double-buffer DMA'd from HBM inside one kernel
+invocation (the tunneled AOT TPU compiler in this environment rejects
+gridded Pallas kernels, so the tile loop is an in-kernel fori_loop).
+Memory traffic is ~0.6x the full tile bytes, read exactly once.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+CHUNK = 8  # tiles per DMA: 512 KB transfers amortize DMA + loop overhead
+
+
+def _spmm_kernel(rows_ref, cols_ref, x_ref, tiles_hbm, out_ref, *,
+                 T: int, m: int):
+    nchunks = m // CHUNK  # m is padded to a CHUNK multiple by the caller
+
+    def body(scratch, sem):
+        one = jnp.int32(1)
+        two = jnp.int32(2)
+
+        def get_dma(slot, chunk_idx):
+            return pltpu.make_async_copy(
+                tiles_hbm.at[pl.ds(chunk_idx * CHUNK, CHUNK)],
+                scratch.at[slot],
+                sem.at[slot],
+            )
+
+        out_ref[:, :] = jnp.zeros_like(out_ref)
+        get_dma(jnp.int32(0), jnp.int32(0)).start()
+
+        # i32 loop counter: tpu.memref_slice rejects i64 (jax x64 default)
+        def loop(ci, carry):
+            slot = jax.lax.rem(ci, two)
+
+            @pl.when(ci + one < nchunks)
+            def _prefetch():
+                get_dma(jax.lax.rem(ci + one, two), ci + one).start()
+
+            get_dma(slot, ci).wait()
+            base = ci * jnp.int32(CHUNK)
+            for j in range(CHUNK):
+                A = scratch[slot, j]
+                r = rows_ref[base + j]
+                c = cols_ref[base + j]
+                ro = pl.multiple_of(r * T, T)
+                co = pl.multiple_of(c * T, T)
+                Xr = x_ref[:, pl.ds(ro, T)]
+                out_ref[:, pl.ds(co, T)] += jnp.dot(
+                    Xr, A, preferred_element_type=jnp.float32
+                )
+
+                @pl.when(r != c)
+                def _sym(A=A, r=r, c=c, ro=ro, co=co):
+                    Xc = x_ref[:, pl.ds(co, T)]
+                    out_ref[:, pl.ds(ro, T)] += jax.lax.dot_general(
+                        Xc, A, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+
+            return carry
+
+        jax.lax.fori_loop(jnp.int32(0), jnp.int32(nchunks), loop,
+                          jnp.int32(0))
+
+    pl.run_scoped(
+        body,
+        scratch=pltpu.VMEM((2, CHUNK, T, T), jnp.float32),
+        sem=pltpu.SemaphoreType.DMA((2,)),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("T",))
+def spmm_symmetric(rows: jax.Array, cols: jax.Array, tiles: jax.Array,
+                   Xf: jax.Array, T: int = 128) -> jax.Array:
+    """W = Xf Q from the upper-triangular tile list (f32, TPU).
+
+    rows/cols: i32[m] with rows <= cols; tiles: f32[m, T, T]; Xf: f32
+    [r_pad, kpad].  The caller should pad m to a CHUNK multiple with zero
+    tiles (rows == cols == 0) -- padding is also done here as a fallback.
+    """
+    m = tiles.shape[0]
+    if m % CHUNK:
+        pad = CHUNK - m % CHUNK
+        tiles = jnp.concatenate(
+            [tiles, jnp.zeros((pad,) + tiles.shape[1:], tiles.dtype)])
+        rows = jnp.concatenate([rows, jnp.zeros(pad, rows.dtype)])
+        cols = jnp.concatenate([cols, jnp.zeros(pad, cols.dtype)])
+        m = m + pad
+    return pl.pallas_call(
+        functools.partial(_spmm_kernel, T=T, m=m),
+        out_shape=jax.ShapeDtypeStruct(Xf.shape, Xf.dtype),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # tile rows
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # tile cols
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # X (resident)
+            pl.BlockSpec(memory_space=pltpu.ANY),    # tiles (stay in HBM)
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * m * T * T * Xf.shape[0],
+            bytes_accessed=tiles.size * 4 + 2 * Xf.size * 4,
+            transcendentals=0,
+        ),
+    )(rows, cols, Xf, tiles)
+
+
+def pallas_available() -> bool:
+    """The kernel needs a real TPU backend (not CPU interpret mode)."""
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False

@@ -126,13 +126,21 @@ class _RABackend:
     def tangent(self, P, X, V):
         return tangent_project(X, V)
 
-    def weingarten(self, P, X, eta, egrad):
+    def hess_setup(self, P, X, egrad):
+        """Per-outer-iteration constants of the Weingarten map: egrad is
+        fixed during tCG, so sym(Y^T egrad) is computed once, not per
+        Hessian application."""
         S = 0.5 * (
             jnp.einsum("nri,nrj->nij", X.rot, egrad.rot)
             + jnp.einsum("nrj,nri->nij", X.rot, egrad.rot)
         )
+        s_inner = jnp.sum(X.sph * egrad.sph, axis=-1, keepdims=True)
+        return (S, s_inner)
+
+    def weingarten(self, P, X, eta, aux):
+        S, s_inner = aux
         w_rot = jnp.einsum("nrd,nde->nre", eta.rot, S)
-        w_sph = eta.sph * jnp.sum(X.sph * egrad.sph, axis=-1, keepdims=True)
+        w_sph = eta.sph * s_inner
         return RAState(rot=w_rot, sph=w_sph, trn=jnp.zeros_like(eta.trn))
 
     def precond(self, P, M, X, V):
@@ -171,10 +179,15 @@ class _FlatBackend:
 
         return tiled.tangent_project_flat(P.meta, X, V)
 
-    def weingarten(self, P, X, eta, egrad):
+    def hess_setup(self, P, X, egrad):
         from dcora_tpu.core import tiled
 
-        return tiled.weingarten_flat(P.meta, X, eta, egrad)
+        return tiled.weingarten_setup(P.meta, X, egrad)
+
+    def weingarten(self, P, X, eta, aux):
+        from dcora_tpu.core import tiled
+
+        return tiled.weingarten_apply(P.meta, eta, aux)
 
     def precond(self, P, M, X, V):
         from dcora_tpu.core import tiled
@@ -199,12 +212,13 @@ def riemannian_gradient(P: ProblemData, X: RAState, G: RAState) -> RAState:
 
 def riemannian_hessian_vec(P: ProblemData, X: RAState, eta: RAState,
                            egrad: RAState) -> RAState:
-    return _rhess(RA_BACKEND, P, X, eta, egrad)
+    aux = RA_BACKEND.hess_setup(P, X, egrad)
+    return _rhess(RA_BACKEND, P, X, eta, aux)
 
 
-def _rhess(be, P, X, eta, egrad):
+def _rhess(be, P, X, eta, aux):
     H = be.hessvec(P, eta)
-    H = jax.tree.map(jnp.subtract, H, be.weingarten(P, X, eta, egrad))
+    H = jax.tree.map(jnp.subtract, H, be.weingarten(P, X, eta, aux))
     return be.tangent(P, X, H)
 
 
@@ -225,8 +239,10 @@ def truncated_cg(P, X, grad, egrad, M, radius, max_inner: int,
     r0_norm = tnorm(r0)
     stop_tol = r0_norm * jnp.minimum(kappa, r0_norm**theta)
 
+    hess_aux = be.hess_setup(P, X, egrad)
+
     def hess(eta):
-        return _rhess(be, P, X, eta, egrad)
+        return _rhess(be, P, X, eta, hess_aux)
 
     def boundary_tau(eta, d, radius):
         # largest tau >= 0 with ||eta + tau d|| = radius

@@ -58,6 +58,12 @@ class TiledQ(NamedTuple):
     # lane-permutation maps between RA scalar ordering and flat ordering
     ra_of_fl: jax.Array    # i32[kpad]; k points at an appended zero column
     fl_of_ra: jax.Array    # i32[k]
+    # optional upper-triangular tile list for the Pallas symmetric-SpMM
+    # kernel (DCORA_PALLAS=1): ~0.6x the tile bytes, each tile applied both
+    # ways.  None unless built with with_pallas=True.
+    sym_tiles: Optional[jax.Array] = None   # f32[ms, T, T]
+    sym_rows: Optional[jax.Array] = None    # i32[ms], rows <= cols
+    sym_cols: Optional[jax.Array] = None    # i32[ms]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -106,7 +112,8 @@ class TiledProblem:
     """
 
     Q: TiledQ
-    pose_inv: jax.Array      # f[n, dh, dh] block-Jacobi inverses (RCM order)
+    pose_inv: jax.Array      # f[dh, dh, n] block-Jacobi inverses, planar,
+                             # RCM order: inv[c, e, i] = (B_i^-1)[c, e]
     sph_inv: jax.Array       # f[l]
     lmk_inv: jax.Array       # f[b]
     meta: TiledMeta = None
@@ -312,14 +319,21 @@ def _scalar_coo(P: prob.ProblemData, dims: ProblemDims,
 def build_tiled(P: prob.ProblemData, dims: ProblemDims, T: int = 128,
                 dtype=np.float32,
                 precond: Optional[prob.Preconditioner] = None,
-                reg: float = 0.1) -> TiledProblem:
+                reg: float = 0.1,
+                with_pallas: Optional[bool] = None) -> TiledProblem:
     """Host-side: RCM order, tile the scalar Q, invert the Jacobi blocks.
 
     `dtype` selects the tile precision (f32 for the TPU hot path; f64 for
     exact oracles / the refinement phase).  `precond` reuses an existing
     block-Jacobi factorization; otherwise one is built with regularization
-    `reg` (reference PGO value 0.1, Graph.cpp:1901-1917).
+    `reg` (reference PGO value 0.1, Graph.cpp:1901-1917).  `with_pallas`
+    additionally stores the upper-triangular tile list for the Pallas
+    symmetric-SpMM kernel (defaults to the DCORA_PALLAS env flag).
     """
+    import os
+
+    if with_pallas is None:
+        with_pallas = os.environ.get("DCORA_PALLAS", "0") == "1"
     n, l, b, d = dims.n, dims.l, dims.b, dims.d
     dh = d + 1
     pose_rank, sph_rank, lmk_rank = _rcm_node_order(P, dims)
@@ -375,12 +389,29 @@ def build_tiled(P: prob.ProblemData, dims: ProblemDims, T: int = 128,
     ra_of_fl[fl_of_ra] = np.arange(k)
 
     meta = TiledMeta(d=d, n=n, l=l, b=b, T=T, nt=nt)
+    sym_tiles = sym_rows = sym_cols = None
+    if with_pallas:
+        from dcora_tpu.core.pallas_spmm import CHUNK
+
+        up = trow <= tcol
+        st, sr, sc = dense[up], trow[up], tcol[up]
+        if len(sr) % CHUNK:
+            pad = CHUNK - len(sr) % CHUNK
+            st = np.concatenate([st, np.zeros((pad, T, T))])
+            sr = np.concatenate([sr, np.zeros(pad, sr.dtype)])
+            sc = np.concatenate([sc, np.zeros(pad, sc.dtype)])
+        sym_tiles = jnp.asarray(st.astype(np.float32))
+        sym_rows = jnp.asarray(sr)
+        sym_cols = jnp.asarray(sc)
     Q = TiledQ(
         tiles=jnp.asarray(dense.astype(dtype)),
         tile_rows=jnp.asarray(trow),
         tile_cols=jnp.asarray(tcol),
         ra_of_fl=jnp.asarray(ra_of_fl.astype(np.int32)),
         fl_of_ra=jnp.asarray(fl_of_ra.astype(np.int32)),
+        sym_tiles=sym_tiles,
+        sym_rows=sym_rows,
+        sym_cols=sym_cols,
     )
 
     # block-Jacobi preconditioner in flat (RCM) order.  The blocks are the
@@ -391,7 +422,8 @@ def build_tiled(P: prob.ProblemData, dims: ProblemDims, T: int = 128,
     if precond is not None:
         perm = np.argsort(pose_rank)  # original pose index at each RCM slot
         pose_inv = jnp.asarray(
-            np.asarray(precond.pose_inv)[perm].astype(dtype))
+            np.asarray(precond.pose_inv)[perm]
+            .transpose(1, 2, 0).astype(dtype))
         sph_d = np.asarray(precond.sph_diag)
         lmk_d = np.asarray(precond.lmk_diag)
         sph_inv = np.zeros(max(l, 0))
@@ -411,7 +443,8 @@ def build_tiled(P: prob.ProblemData, dims: ProblemDims, T: int = 128,
             vals[in_pose],
         )
         pose_blocks = pose_blocks + reg * np.eye(dh)
-        pose_inv = jnp.asarray(np.linalg.inv(pose_blocks).astype(dtype))
+        pose_inv = jnp.asarray(
+            np.linalg.inv(pose_blocks).transpose(1, 2, 0).astype(dtype))
         tail_diag = np.zeros(max(l + b, 1))
         on_tail = (rows >= n * dh) & (rows == cols)
         np.add.at(tail_diag, rows[on_tail] - n * dh, vals[on_tail])
@@ -440,9 +473,18 @@ def apply_tiled(TP: TiledProblem, Xf: jax.Array) -> jax.Array:
     """W = Xf Q (symmetric Q):  [r_pad, kpad] -> [r_pad, kpad].
 
     gather 4 KB X tiles -> batched MXU matmul -> segment-sum into W tiles.
+    When the problem was built with_pallas and runs on a real TPU in f32,
+    dispatch to the symmetric Pallas kernel instead (0.6x tile traffic).
     """
     meta = TP.meta
     r_pad = Xf.shape[0]
+    if (TP.Q.sym_tiles is not None and Xf.dtype == jnp.float32):
+        from dcora_tpu.core import pallas_spmm
+
+        if pallas_spmm.pallas_available():
+            return pallas_spmm.spmm_symmetric(
+                TP.Q.sym_rows, TP.Q.sym_cols, TP.Q.sym_tiles, Xf, T=meta.T
+            )
     Xt = Xf.reshape(r_pad, meta.nt, meta.T).transpose(1, 0, 2)  # [nt, r, T]
     Xg = Xt[TP.Q.tile_rows]                                     # [m, r, T]
     Yg = jax.lax.dot_general(
@@ -497,6 +539,25 @@ def _join(meta: TiledMeta, pose, sph, tail) -> jax.Array:
     )
 
 
+def _planar_cols(meta: TiledMeta, Xf: jax.Array):
+    """The dh per-pose component slices as lane-major [r_pad, n] arrays.
+
+    TPU fusion note: einsum over the [r, n, dh] view lowers to dot_general,
+    which breaks XLA fusion and materializes rank-3 intermediates with the
+    size-dh minor dimension padded to 128 lanes (a 32-64x memory blowup --
+    measured ~600 us/op vs ~4 us for the unrolled form below).  Everything
+    in the tCG hot loop therefore stays on 2-D lane-major slices and
+    unrolled static loops over the tiny d x d indices.
+    """
+    P3 = _pose3(meta, Xf).transpose(0, 2, 1)  # [r, dh, n] (copy, fusible)
+    return [P3[:, c] for c in range(meta.dh)]
+
+
+def _join_cols(meta: TiledMeta, cols, sph, tail) -> jax.Array:
+    pose = jnp.stack(cols, axis=2)  # [r, n, dh]
+    return _join(meta, pose, sph, tail)
+
+
 def tangent_project_flat(meta: TiledMeta, Xf: jax.Array,
                          Vf: jax.Array) -> jax.Array:
     """V - Y sym(Y^T V) on Stiefel blocks; sphere de-projection; id on R.
@@ -504,49 +565,85 @@ def tangent_project_flat(meta: TiledMeta, Xf: jax.Array,
     Flat-layout equivalent of manifold.tangent_project
     (reference: DCORA_utils.cpp:2033-2051).
     """
-    Xp, Xs, _ = _sections(meta, Xf)
-    Vp, Vs, Vt = _sections(meta, Vf)
+    Xc = _planar_cols(meta, Xf)
+    Vc = _planar_cols(meta, Vf)
     d = meta.d
-    Y = Xp[:, :, :d]     # [r, n, d]
-    VY = Vp[:, :, :d]
-    # S[n, a, b] = sym( sum_rho Y[rho,n,a] V[rho,n,b] )
-    S = jnp.einsum("rna,rnb->nab", Y, VY)
-    S = 0.5 * (S + jnp.swapaxes(S, -1, -2))
-    rot = VY - jnp.einsum("rnb,nba->rna", Y, S)
-    pose = jnp.concatenate([rot, Vp[:, :, d:]], axis=2)
+    _, Xs, _ = _sections(meta, Xf)
+    _, Vs, Vt = _sections(meta, Vf)
+    # S[a][b] = sum_rho Y_a Y'_b  as [n] vectors
+    S = [[jnp.sum(Xc[a] * Vc[b], axis=0) for b in range(d)]
+         for a in range(d)]
+    rot = []
+    for a in range(d):
+        acc = Vc[a]
+        for b in range(d):
+            acc = acc - Xc[b] * (0.5 * (S[b][a] + S[a][b]))[None, :]
+        rot.append(acc)
     if meta.l:
         inner = jnp.sum(Xs * Vs, axis=0, keepdims=True)
         sph = Vs - Xs * inner
     else:
         sph = Vs
-    return _join(meta, pose, sph, Vt)
+    return _join_cols(meta, rot + [Vc[d]], sph, Vt)
 
 
-def weingarten_flat(meta: TiledMeta, Xf: jax.Array, eta: jax.Array,
-                    egrad: jax.Array) -> jax.Array:
-    """Curvature term of the Riemannian Hessian (cf. the RA backend weingarten in rtr.py)."""
-    Xp, Xs, _ = _sections(meta, Xf)
-    Ep, Es, _ = _sections(meta, eta)
-    Gp, Gs, Gt = _sections(meta, egrad)
+def weingarten_setup(meta: TiledMeta, Xf: jax.Array, egrad: jax.Array):
+    """Constants of the Weingarten map for a fixed egrad: Ssym[a][b] =
+    sym(Y^T egrad)[a,b] as [n] vectors plus the sphere inner products.
+    egrad does not change during a tCG solve, so this runs once per outer
+    iteration (cf. the RA backend hess_setup in rtr.py)."""
+    Xc = _planar_cols(meta, Xf)
+    Gc = _planar_cols(meta, egrad)
     d = meta.d
-    Y = Xp[:, :, :d]
-    Gy = Gp[:, :, :d]
-    S = jnp.einsum("rna,rnb->nab", Y, Gy)
-    S = 0.5 * (S + jnp.swapaxes(S, -1, -2))
-    rot = jnp.einsum("rnb,nba->rna", Ep[:, :, :d], S)
-    pose = jnp.concatenate([rot, jnp.zeros_like(Ep[:, :, d:])], axis=2)
+    S = [[jnp.sum(Xc[a] * Gc[b], axis=0) for b in range(d)]
+         for a in range(d)]
+    Ssym = [[0.5 * (S[b][a] + S[a][b]) for b in range(d)] for a in range(d)]
     if meta.l:
-        sph = Es * jnp.sum(Xs * Gs, axis=0, keepdims=True)
+        _, Xs, _ = _sections(meta, Xf)
+        _, Gs, _ = _sections(meta, egrad)
+        s_inner = jnp.sum(Xs * Gs, axis=0, keepdims=True)
+    else:
+        s_inner = None
+    return (Ssym, s_inner)
+
+
+def weingarten_apply(meta: TiledMeta, eta: jax.Array, aux) -> jax.Array:
+    """Apply the precomputed Weingarten constants to a tangent vector."""
+    Ssym, s_inner = aux
+    Ec = _planar_cols(meta, eta)
+    d = meta.d
+    _, Es, Et = _sections(meta, eta)
+    rot = []
+    for a in range(d):
+        acc = Ec[0] * Ssym[a][0][None, :]
+        for b in range(1, d):
+            acc = acc + Ec[b] * Ssym[a][b][None, :]
+        rot.append(acc)
+    if meta.l:
+        sph = Es * s_inner
     else:
         sph = Es
-    return _join(meta, pose, sph, jnp.zeros_like(Gt))
+    return _join_cols(meta, rot + [jnp.zeros_like(Ec[d])], sph,
+                      jnp.zeros_like(Et))
 
 
 def precondition_flat(TP: TiledProblem, Vf: jax.Array) -> jax.Array:
-    """Block-Jacobi solve in flat layout (cf. prob.apply_preconditioner)."""
+    """Block-Jacobi solve in flat layout (cf. prob.apply_preconditioner).
+
+    TP.pose_inv is stored planar [dh, dh, n] so the application is dh^2
+    lane-parallel multiply-adds.
+    """
     meta = TP.meta
-    Vp, Vs, Vt = _sections(meta, Vf)
-    pose = jnp.einsum("rnc,nce->rne", Vp, TP.pose_inv.astype(Vf.dtype))
+    dh = meta.dh
+    Vc = _planar_cols(meta, Vf)
+    _, Vs, Vt = _sections(meta, Vf)
+    inv = TP.pose_inv.astype(Vf.dtype)
+    out = []
+    for e in range(dh):
+        acc = Vc[0] * inv[0, e][None, :]
+        for c in range(1, dh):
+            acc = acc + Vc[c] * inv[c, e][None, :]
+        out.append(acc)
     if meta.l:
         sph = Vs * TP.sph_inv.astype(Vf.dtype)[None, :]
     else:
@@ -556,7 +653,7 @@ def precondition_flat(TP: TiledProblem, Vf: jax.Array) -> jax.Array:
         tail = jnp.concatenate([lmk, Vt[:, meta.b:]], axis=1)
     else:
         tail = Vt
-    return _join(meta, pose, sph, tail)
+    return _join_cols(meta, out, sph, tail)
 
 
 def retract_flat(meta: TiledMeta, Xf: jax.Array, Vf: jax.Array) -> jax.Array:
