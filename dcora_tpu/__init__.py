@@ -31,6 +31,23 @@ if os.environ.get("DCORA_TPU_X64", "1") == "1":
     # f64 matmuls on TPU must not be decomposed into low-precision passes.
     jax.config.update("jax_default_matmul_precision", "highest")
 
+# Persistent XLA compilation cache: first TPU compiles take 20-40 s each
+# through the remote compiler; cached reloads are ~instant across runs.
+if os.environ.get("DCORA_JAX_CACHE", "1") == "1":
+    import jax
+
+    _cache_dir = os.environ.get(
+        "DCORA_JAX_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "dcora_tpu",
+                     "jax_cache"),
+    )
+    try:
+        os.makedirs(_cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # cache is best-effort (read-only FS etc.)
+        pass
+
 from dcora_tpu.types import (  # noqa: E402
     AgentParameters,
     BlockSelectionRule,

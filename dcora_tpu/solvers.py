@@ -26,6 +26,11 @@ def _zero_G(dims, r):
     return lifted.zeros(dims, r)
 
 
+# below this size the f32 coarse phase's extra compilations cost more than
+# the f64 iterations they save
+FAST_PATH_MIN_POSES = 500
+
+
 def rtr_config_from_params(params: ROptParameters,
                            single_step: bool = False) -> RTRConfig:
     return RTRConfig(
@@ -83,9 +88,48 @@ def make_preconditioner(g: LocalGraph, P: prob.ProblemData):
     return prob.build_preconditioner(P, g.n, g.l, g.b, g.d, reg)
 
 
+def rtr_fast(g: LocalGraph, P: prob.ProblemData, M, X0: RAState,
+             cfg: RTRConfig, G: Optional[RAState] = None, TP=None,
+             coarse_rel: float = 1e-4):
+    """Mixed-precision RTR: f32 tiled coarse solve + f64 edge-path refine.
+
+    The coarse phase runs the flat RCM-tiled backend (MXU block-sparse
+    SpMM, f32 native speed -- f64 is emulated ~15x slower on TPU) down to
+    its precision floor (~coarse_rel * initial gradnorm), then the exact
+    f64 residual-form RTR finishes to cfg.gradnorm_tol.  Returns the f64
+    RTRResult; pass TP to reuse tiles across calls (tiles are
+    rank-independent: the staircase reuses one build for every rank).
+    """
+    import jax
+
+    from dcora_tpu.core import tiled
+    from dcora_tpu.core.manifold import project
+    from dcora_tpu.core.rtr import riemannian_gradient, rtr_flat
+
+    r = X0.r
+    r_pad = max(8, -(-r // 8) * 8)
+    if TP is None:
+        TP = tiled.build_tiled(P, g.dims, precond=M)
+    Xf0 = tiled.to_flat(TP, X0, r_pad=r_pad).astype(jnp.float32)
+    Gf = None
+    if G is not None:
+        Gf = tiled.to_flat(TP, G, r_pad=r_pad).astype(jnp.float32)
+    g0 = float(riemannian_gradient(P, X0, G).norm())
+    cfg32 = dataclasses.replace(
+        cfg, gradnorm_tol=max(cfg.gradnorm_tol, coarse_rel * g0)
+    )
+    res32 = rtr_flat(TP, Gf, Xf0, cfg32)
+    X_warm = project(
+        jax.tree.map(lambda a: a.astype(jnp.float64),
+                     tiled.from_flat(TP, res32.X, r=r))
+    )
+    return rtr(P, G, M, X_warm, cfg), TP
+
+
 def solve_pgo(measurements: List[RelativePosePoseMeasurement],
               params: Optional[ROptParameters] = None,
-              T0: Optional[np.ndarray] = None) -> np.ndarray:
+              T0: Optional[np.ndarray] = None,
+              fast: bool = True) -> np.ndarray:
     """Single-robot rank-d PGO (reference: DCORA_solver.cpp:304-330).
 
     Returns the optimized trajectory [n, d, d+1].
@@ -99,7 +143,12 @@ def solve_pgo(measurements: List[RelativePosePoseMeasurement],
     X0 = lifted.from_pose_array(T)
     cfg = rtr_config_from_params(params)
     G = _zero_G(g.dims, d)
-    res = rtr(P, G, M, X0, cfg)
+    # the f32 coarse phase pays two extra XLA compilations; only worth it
+    # when the f64 iteration cost dominates (big problems)
+    if fast and g.n >= FAST_PATH_MIN_POSES:
+        res, _ = rtr_fast(g, P, M, X0, cfg, G=None)
+    else:
+        res = rtr(P, G, M, X0, cfg)
     X = res.X
     out = np.zeros((g.n, d, d + 1))
     out[:, :, :d] = np.asarray(X.rot)

@@ -74,6 +74,7 @@ def riemannian_staircase(
     certified = False
     min_eigs: List[float] = []
 
+    TP = None
     r = r_min
     while r < r_max:
         cfg = RTRConfig(
@@ -82,8 +83,12 @@ def riemannian_staircase(
             max_inner=opt_params.RTR_tCG_iterations,
             initial_radius=opt_params.RTR_initial_radius,
         )
-        G = lifted.zeros(dims, r)
-        res = rtr(P, G, M, X, cfg)
+        from dcora_tpu.solvers import FAST_PATH_MIN_POSES, rtr_fast
+
+        if g.n >= FAST_PATH_MIN_POSES:
+            res, TP = rtr_fast(g, P, M, X, cfg, G=None, TP=TP)
+        else:
+            res = rtr(P, lifted.zeros(dims, r), M, X, cfg)
         X = res.X
         if verbose:
             logger.info(
@@ -122,8 +127,14 @@ def riemannian_staircase(
             max_inner=opt_params.RTR_tCG_iterations,
             initial_radius=opt_params.RTR_initial_radius,
         )
-        G = lifted.zeros(dims, dims.d)
-        rounded = rtr(P, G, M, rounded, cfg).X
+        from dcora_tpu.solvers import FAST_PATH_MIN_POSES, rtr_fast
+
+        if g.n >= FAST_PATH_MIN_POSES:
+            res_r, TP = rtr_fast(g, P, M, rounded, cfg, G=None, TP=TP)
+            rounded = res_r.X
+        else:
+            G = lifted.zeros(dims, dims.d)
+            rounded = rtr(P, G, M, rounded, cfg).X
 
     f_final = float(prob.cost(P, X))
     return StaircaseResult(
