@@ -19,6 +19,7 @@ from __future__ import annotations
 import logging
 from typing import Dict, List, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -58,6 +59,29 @@ from dcora_tpu.utils.logger import Logger
 from dcora_tpu.utils.rotations import angular_to_chordal_so3
 
 logger = logging.getLogger(__name__)
+
+# one compiled program per (shapes, n, l, num_trans): the eager form
+# dispatches dozens of small ops per RBCD iteration, which is dominated by
+# host->device latency on tunneled single-chip setups
+_linear_term_jit = jax.jit(
+    prob.linear_term, static_argnames=("n", "l", "num_trans")
+)
+
+
+@jax.jit
+def _update_Y_jit(X, V, alpha):
+    """Y = proj((1-alpha) X + alpha V)  (reference: Agent.cpp:1189-1205)."""
+    return manifold.project(
+        jax.tree.map(lambda x, v: (1 - alpha) * x + alpha * v, X, V)
+    )
+
+
+@jax.jit
+def _update_V_jit(V, X, Y, gamma):
+    """V = proj(V + gamma (X - Y))  (reference: Agent.cpp:1207-1214)."""
+    return manifold.project(
+        jax.tree.map(lambda v, x, y: v + gamma * (x - y), V, X, Y)
+    )
 
 
 def max_translation_distance(X: RAState, Y: RAState) -> float:
@@ -197,15 +221,20 @@ class Agent:
             return None
         X = self.Y if (aux and self.Y is not None) else self.X
         poses, spheres, landmarks = self.graph.my_public_state_ids()
+        # pull each device array once; per-pose slicing happens in numpy
+        # (one device->host sync per array instead of one per public pose)
+        rot = np.asarray(X.rot)
+        trn = np.asarray(X.trn)
+        sph = np.asarray(X.sph)
         pose_dict = {
-            sid: np.asarray(X.pose(sid.frame_id)) for sid in poses
+            sid: np.concatenate(
+                [rot[sid.frame_id], trn[sid.frame_id][:, None]], axis=1
+            )
+            for sid in poses
         }
-        sphere_dict = {
-            sid: np.asarray(X.sph[sid.frame_id]) for sid in spheres
-        }
+        sphere_dict = {sid: sph[sid.frame_id] for sid in spheres}
         landmark_dict = {
-            sid: np.asarray(X.trn[self.graph.n + sid.frame_id])
-            for sid in landmarks
+            sid: trn[self.graph.n + sid.frame_id] for sid in landmarks
         }
         return pose_dict, sphere_dict, landmark_dict
 
@@ -563,7 +592,7 @@ class Agent:
         P = self._cached_P
         M = self._cached_M
         n, l, nt = self.graph.n, self.graph.l, self.graph.n + self.graph.b
-        G = prob.linear_term(P, X_fixed, n, l, nt)
+        G = _linear_term_jit(P, X_fixed, n, l, nt)
         if G is None:
             G = lifted.zeros(self.graph.dims, self.r)
 
@@ -604,12 +633,11 @@ class Agent:
         self.alpha = 1.0 / (self.gamma * self.params.numRobots)
 
     def update_Y(self):
-        Mx = self.X.scale(1 - self.alpha) + self.V.scale(self.alpha)
-        self.Y = manifold.project(Mx)
+        self.Y = _update_Y_jit(self.X, self.V, jnp.asarray(self.alpha))
 
     def update_V(self):
-        Mv = self.V + (self.X - self.Y).scale(self.gamma)
-        self.V = manifold.project(Mv)
+        self.V = _update_V_jit(self.V, self.X, self.Y,
+                               jnp.asarray(self.gamma))
 
     def should_restart(self) -> bool:
         if self.params.acceleration:

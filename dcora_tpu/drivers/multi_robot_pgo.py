@@ -12,10 +12,12 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
+import functools
 import logging
 import time
 from typing import Dict, List, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -36,6 +38,23 @@ from dcora_tpu.types import (
 )
 
 logger = logging.getLogger(__name__)
+
+
+@functools.partial(jax.jit, static_argnames=("num_robots",))
+def _central_eval(P, G0, X, pose_block_ids, num_robots):
+    """cost, Riemannian gradnorm, and per-robot block gradient norms in one
+    compiled call (reference loop: MultiRobotExample.cpp:263-305)."""
+    RGrad = riemannian_gradient(P, X, G0)
+    cost = prob.cost(P, X, G0)
+    gradnorm = RGrad.norm()
+    rot_sq = jnp.sum(RGrad.rot ** 2, axis=(1, 2))
+    trn_sq = jnp.sum(RGrad.trn ** 2, axis=1)
+    per_block = (
+        jax.ops.segment_sum(rot_sq, pose_block_ids, num_segments=num_robots)
+        + jax.ops.segment_sum(trn_sq, pose_block_ids,
+                              num_segments=num_robots)
+    )
+    return cost, gradnorm, jnp.sqrt(per_block)
 
 
 def partition_measurements(measurements, n: int, num_robots: int):
@@ -131,6 +150,12 @@ def run(num_robots: int, g2o_path: str, acceleration: bool = True,
     r = r_min
     trajectories: Dict[int, np.ndarray] = {}
 
+    # robot id of every pose (for greedy block-gradient norms)
+    pose_block_ids = jnp.asarray(
+        np.array([min(i // max(n // num_robots, 1), num_robots - 1)
+                  for i in range(n)], dtype=np.int32)
+    )
+
     while r < r_max:
         central = LocalGraph(0, r, d)
         central.set_measurements(measurements)
@@ -197,9 +222,14 @@ def run(num_robots: int, g2o_path: str, acceleration: bool = True,
                 sph=Xcurr.sph[:0],
                 trn=jnp.concatenate(trns),
             )
-            RGrad = riemannian_gradient(P, Xopt, G0)
-            gradnorm = float(RGrad.norm())
-            cost = 2.0 * float(prob.cost(P, Xopt))
+            # one device call per iteration: cost, gradnorm, and the greedy
+            # per-block gradient norms (the eager form dispatched hundreds
+            # of ops per iteration; latency-bound on a tunneled chip)
+            cost_j, gradnorm_j, block_norms = _central_eval(
+                P, G0, Xopt, pose_block_ids, num_robots
+            )
+            gradnorm = float(gradnorm_j)
+            cost = 2.0 * float(cost_j)
             cost_trace.append(cost)
             grad_trace.append(gradnorm)
             if verbose or it % 50 == 0:
@@ -212,17 +242,7 @@ def run(num_robots: int, g2o_path: str, acceleration: bool = True,
 
             # greedy selection by block gradient norm (reference: :289-305)
             if sel.get_neighbors():
-                norms = []
-                for robot in range(num_robots):
-                    s, e = robot_slice(n, num_robots, robot)
-                    nrm = float(
-                        jnp.sqrt(
-                            jnp.sum(RGrad.rot[s:e] ** 2)
-                            + jnp.sum(RGrad.trn[s:e] ** 2)
-                        )
-                    )
-                    norms.append(nrm)
-                selected = int(np.argmax(norms))
+                selected = int(np.argmax(np.asarray(block_norms)))
             total_iter += 1
 
         if rbcd_only:

@@ -16,6 +16,7 @@ import logging
 import time
 from typing import Dict, List
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -42,6 +43,14 @@ from dcora_tpu.types import (
 )
 
 logger = logging.getLogger(__name__)
+
+
+@jax.jit
+def _central_eval(P, G0, X):
+    """cost, Riemannian gradnorm, and the gradient itself in one compiled
+    call (reference loop: MultiRobotExample_RASLAM.cpp:370-400)."""
+    RGrad = riemannian_gradient(P, X, G0)
+    return prob.cost(P, X, G0), RGrad.norm(), RGrad
 
 
 def _slice_agent_state(X: RAState, idx: Dict[str, np.ndarray]) -> RAState:
@@ -185,9 +194,15 @@ def run(pyfg_path: str, acceleration: bool = True, num_iters: int = 1000,
                 )
             Xopt = RAState(rot=jnp.asarray(rot), sph=jnp.asarray(sph),
                            trn=jnp.asarray(trn))
-            RGrad = riemannian_gradient(P, Xopt, G0)
-            gradnorm = float(RGrad.norm())
-            cost = float(prob.cost(P, Xopt))
+            # one compiled call + one device->host pull per iteration (the
+            # eager form dispatched hundreds of latency-bound ops)
+            cost_j, gradnorm_j, RGrad = _central_eval(P, G0, Xopt)
+            gradnorm = float(gradnorm_j)
+            cost = float(cost_j)
+            RGrad_np = RAState(
+                rot=np.asarray(RGrad.rot), sph=np.asarray(RGrad.sph),
+                trn=np.asarray(RGrad.trn),
+            )
             cost_trace.append(cost)
             grad_trace.append(gradnorm)
             if verbose or total_iter % 50 == 0:
@@ -199,8 +214,11 @@ def run(pyfg_path: str, acceleration: bool = True, num_iters: int = 1000,
             if sel.get_neighbors():
                 norms = {}
                 for rid in active_ids:
-                    Ga = _slice_agent_state(RGrad, ridx[rid])
-                    norms[rid] = float(Ga.norm())
+                    Ga = _slice_agent_state(RGrad_np, ridx[rid])
+                    norms[rid] = float(
+                        np.sqrt(sum(float((np.asarray(a) ** 2).sum())
+                                    for a in (Ga.rot, Ga.sph, Ga.trn)))
+                    )
                 if block_selection_rule == BlockSelectionRule.Greedy:
                     selected = max(norms, key=norms.get)
                 else:
