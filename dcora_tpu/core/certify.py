@@ -173,16 +173,126 @@ def minimum_eigen_pair(P: ProblemData, C: Certificate, dims: ProblemDims,
     return float(lam_s + 2.0 * lam_lm), np.asarray(y_s), float(res_s)
 
 
+# --------------------------------------------------------------------------
+# Flat tiled Lanczos (TPU fast path).  The Lambda(X) application has exactly
+# the Weingarten-apply form (sym blocks on rotations, scalars on spheres),
+# so the S matvec in the flat basis is apply_tiled - weingarten_apply; the
+# permutation conjugation preserves the spectrum and from_flat converts the
+# eigenvector back.
+# --------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("m",))
+def _lanczos_extreme_flat(TP, aux, shift, v0, m: int):
+    """Largest-magnitude Ritz pair of (S + shift*I), flat tiled matvec."""
+    from dcora_tpu.core import tiled
+
+    kpad = v0.shape[0]
+    r_pad = 8  # tile matmul wants >= 8 sublanes; rows 1.. stay zero
+
+    def mv(v):
+        V = jnp.zeros((r_pad, kpad), v.dtype).at[0].set(v)
+        W = tiled.apply_tiled(TP, V) - tiled.weingarten_apply(
+            TP.meta, V, aux
+        )
+        return W[0] + shift * v
+
+    basis = jnp.zeros((m, kpad), v0.dtype)
+    alphas = jnp.zeros((m,), v0.dtype)
+    betas = jnp.zeros((m,), v0.dtype)
+    v = v0 / jnp.linalg.norm(v0)
+
+    def body(j, carry):
+        basis, alphas, betas, v = carry
+        basis = basis.at[j].set(v)
+        w = mv(v)
+        a = jnp.vdot(v, w)
+        alphas = alphas.at[j].set(a)
+        for _ in range(2):
+            w = w - basis.T @ (basis @ w)
+        b = jnp.linalg.norm(w)
+        betas = betas.at[j].set(b)
+        fresh = jax.random.normal(
+            jax.random.fold_in(jax.random.PRNGKey(0), j), (kpad,),
+            dtype=v0.dtype,
+        )
+        for _ in range(2):
+            fresh = fresh - basis.T @ (basis @ fresh)
+        fresh = fresh / jnp.maximum(jnp.linalg.norm(fresh), 1e-30)
+        v_next = jnp.where(b > 1e-7, w / jnp.where(b == 0, 1.0, b), fresh)
+        return basis, alphas, betas, v_next
+
+    basis, alphas, betas, _ = jax.lax.fori_loop(
+        0, m, body, (basis, alphas, betas, v)
+    )
+    T = (
+        jnp.diag(alphas)
+        + jnp.diag(betas[:-1], 1)
+        + jnp.diag(betas[:-1], -1)
+    )
+    evals, evecs = jnp.linalg.eigh(T)
+    idx = jnp.argmax(jnp.abs(evals))
+    return evals[idx], basis.T @ evecs[:, idx]
+
+
+def minimum_eigen_pair_tiled(TP, X: RAState, num_lanczos: int = 64):
+    """(lambda_min estimate, RA-flat eigenvector) via the tiled S operator.
+
+    Runs at the tile dtype (f32 on the TPU hot path); callers must validate
+    PSD conclusions at f64 (see fast_verification)."""
+    from dcora_tpu.core import tiled
+
+    meta = TP.meta
+    dt = TP.Q.tiles.dtype
+    r_pad = max(8, -(-X.r // 8) * 8)
+    Xf = tiled.to_flat(TP, X, r_pad=r_pad).astype(dt)
+    W = tiled.apply_tiled(TP, Xf)
+    aux = tiled.weingarten_setup(meta, Xf, W)
+
+    m = min(num_lanczos, meta.k)
+    rng = np.random.default_rng(0)
+    v0 = np.zeros(meta.kpad)
+    v0[:meta.k] = rng.standard_normal(meta.k)
+    v0 = jnp.asarray(v0, dt)
+
+    lam_lm, y_lm = _lanczos_extreme_flat(TP, aux, jnp.asarray(0.0, dt),
+                                         v0, m)
+    if float(lam_lm) < 0:
+        y = tiled.from_flat(TP, y_lm[None].astype(jnp.float64))
+        return float(lam_lm), np.asarray(lifted.to_flat(y)[0])
+    lam_s, y_s = _lanczos_extreme_flat(
+        TP, aux, jnp.asarray(-2.0, dt) * lam_lm, v0, m
+    )
+    y = tiled.from_flat(TP, y_s[None].astype(jnp.float64))
+    return float(lam_s + 2.0 * float(lam_lm)), \
+        np.asarray(lifted.to_flat(y)[0])
+
+
 def fast_verification(P: ProblemData, X: RAState, eta: float,
-                      num_lanczos: int = 64):
+                      num_lanczos: int = 64, TP=None):
     """Check S + eta*I >= 0 (reference: fastVerification,
     DCORA_utils.cpp:1713-1735).
 
     Returns (is_psd, theta, min_eigenvector) where theta = v^T S v for the
     estimated minimum eigenvector (0, None when certified).
+
+    With TP (a tiled.TiledProblem), the min-eig search runs on the tiled
+    f32 path; a negative conclusion is validated by an exact f64 Rayleigh
+    quotient (sound: theta >= lambda_min), while a PSD conclusion is
+    re-confirmed by the f64 Lanczos -- PSD happens once per staircase, so
+    the expensive confirmation amortizes.
     """
     C = dual_certificate_blocks(P, X)
     dims = X.dims
+    if TP is not None:
+        lam_est, v_est = minimum_eigen_pair_tiled(TP, X, num_lanczos)
+        vj = jnp.asarray(v_est)
+        vj = vj / jnp.linalg.norm(vj)
+        Sv = _flat_matvec(P, C, dims, 0.0)(vj)
+        theta = float(jnp.vdot(vj, Sv))
+        if theta + eta < 0:
+            return False, theta, np.asarray(vj)
+        # fall through to the exact search to certify PSD soundly
     lam_min, v, resid = minimum_eigen_pair(P, C, dims, num_lanczos)
     # is S + eta I PSD?  <=>  lam_min(S) >= -eta
     if lam_min + eta >= 0:

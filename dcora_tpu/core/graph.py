@@ -72,6 +72,7 @@ class LocalGraph:
         self._edge_ids: Dict[EdgeID, object] = {}
         self.neighbor_active: Dict[int, bool] = {}
         self.pose_priors: Dict[int, np.ndarray] = {}  # idx -> lifted [r, d+1]
+        self.landmark_priors: Dict[int, np.ndarray] = {}  # idx -> lifted [r]
         self._invalidate()
 
     def _invalidate(self):
@@ -165,13 +166,33 @@ class LocalGraph:
         """Anchor pose `index` with a lifted prior [r, d+1].
 
         reference: Graph::setPrior / Agent::anchorFirstPose.
+
+        Design delta: the reference adds only the prior's *linear* term to
+        the cost (Graph.cpp:805-817, with its own "TODO: Treat priors as
+        relative measurements"), which leaves the prior energy unbounded
+        below along the translation null space.  Here the full quadratic
+        form kappa||Y-P||^2 + tau||p-q||^2 is used: the kappa I / tau
+        diagonal enters Q (problem.ProblemData.prior_kdiag/tdiag) so the
+        gradient vanishes exactly at the prior.
         """
         assert lifted_pose.shape == (self.r, self.d + 1)
         self.pose_priors[index] = np.asarray(lifted_pose)
         self._invalidate()
 
+    def set_landmark_prior(self, index: int, lifted_point: np.ndarray):
+        """Anchor landmark `index` with a lifted prior [r].
+
+        reference: Graph::setPrior(unsigned, const LiftedPoint&)
+        (Graph.cpp:326-331).
+        """
+        assert lifted_point.shape == (self.r,)
+        assert 0 <= index < self.b
+        self.landmark_priors[index] = np.asarray(lifted_point)
+        self._invalidate()
+
     def clear_priors(self):
         self.pose_priors.clear()
+        self.landmark_priors.clear()
         self._invalidate()
 
     # -------------------------------------------------------------- statistics
@@ -407,7 +428,7 @@ class LocalGraph:
 
         prior_G = None
         prior_kdiag = prior_tdiag = None
-        if self.pose_priors:
+        if self.pose_priors or self.landmark_priors:
             G = lifted.zeros(self.dims, r)
             rot = np.zeros((self.n, r, d))
             trn = np.zeros((self.n + self.b, r))
@@ -419,6 +440,12 @@ class LocalGraph:
                 trn[idx] -= PRIOR_TAU * P[:, d]
                 kdiag[idx] += PRIOR_KAPPA
                 tdiag[idx] += PRIOR_TAU
+            for idx, tP in self.landmark_priors.items():
+                # landmark priors: declared by the reference API
+                # (Graph.cpp:326-331) but never folded into its cost; here
+                # they act like pose-translation priors with PRIOR_TAU
+                trn[self.n + idx] -= PRIOR_TAU * tP
+                tdiag[self.n + idx] += PRIOR_TAU
             prior_G = RAState(
                 rot=jnp.asarray(rot), sph=G.sph, trn=jnp.asarray(trn)
             )

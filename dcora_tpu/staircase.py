@@ -97,7 +97,7 @@ def riemannian_staircase(
             )
 
         is_psd, theta, v = fast_verification(
-            P, X, min_eig_num_tol, num_lanczos
+            P, X, min_eig_num_tol, num_lanczos, TP=TP
         )
         if is_psd:
             certified = True

@@ -103,3 +103,38 @@ def test_round_solution_recovers_rank_d():
     np.testing.assert_allclose(
         np.asarray(f1.T @ f1), np.asarray(f2.T @ f2), atol=1e-8
     )
+
+
+def test_tiled_lanczos_matches_dense_min_eig(data_dir):
+    """The flat tiled S operator (f64 tiles) reproduces the dense minimum
+    eigenvalue, and the f32 path steers fast_verification correctly."""
+    from dcora_tpu.core import tiled
+
+    ds = read_g2o_file(f"{data_dir}/tinyGrid3D.g2o")
+    g = LocalGraph(0, 5, 3)
+    g.set_measurements(ds.pose_pose_measurements)
+    P = g.problem_data()
+    import jax.random as jr
+
+    X = manifold.random_state(jr.PRNGKey(2), ProblemDims(3, g.n), 5)
+    S = _dense_S(P, X)
+    lam_ref = float(np.linalg.eigvalsh(0.5 * (S + S.T)).min())
+
+    TP64 = tiled.build_tiled(P, g.dims, T=32, dtype=np.float64)
+    lam, v = certify.minimum_eigen_pair_tiled(TP64, X, num_lanczos=60)
+    np.testing.assert_allclose(lam, lam_ref, rtol=1e-6, atol=1e-8)
+    # returned eigenvector is in the RA flat basis
+    Sv = S @ v / np.linalg.norm(v)
+    np.testing.assert_allclose(
+        float(v / np.linalg.norm(v) @ Sv), lam_ref, rtol=1e-5, atol=1e-6
+    )
+
+    # f32 tiles: fast_verification must reach the same PSD verdict as the
+    # exact path at a random (saddle) point and at the optimum
+    TP32 = tiled.build_tiled(P, g.dims, T=32, dtype=np.float32)
+    is_psd, theta, vv = certify.fast_verification(P, X, 1e-3, 60, TP=TP32)
+    is_psd_ref, theta_ref, _ = certify.fast_verification(P, X, 1e-3, 60)
+    assert is_psd == is_psd_ref
+    if not is_psd:
+        assert theta < 0
+        np.testing.assert_allclose(theta, theta_ref, rtol=0.2)
