@@ -123,6 +123,12 @@ class _RABackend:
     def hessvec(self, P, V):
         return prob.hessian_vec(P, V)
 
+    def applyQ(self, P, X):
+        """X Q for cost/gradient: the residual-form edge path, which avoids
+        the ~6-digit cancellation of the assembled (ELL) matrix near the
+        optimum (see problem.apply_Q numerics note)."""
+        return prob.apply_Q(P, X, prefer_ell=False)
+
     def tangent(self, P, X, V):
         return tangent_project(X, V)
 
@@ -173,6 +179,11 @@ class _FlatBackend:
         from dcora_tpu.core import tiled
 
         return tiled.apply_tiled(P, V)
+
+    def applyQ(self, P, X):
+        from dcora_tpu.core import tiled
+
+        return tiled.apply_tiled(P, X)
 
     def tangent(self, P, X, V):
         from dcora_tpu.core import tiled
@@ -323,20 +334,33 @@ class RTRResult(NamedTuple):
 def _rtr_impl(P, G, M, X0, cfg: RTRConfig, be=RA_BACKEND) -> RTRResult:
     max_radius = cfg.initial_radius * cfg.max_radius_factor
 
-    def f(X):
-        return be.cost(P, G, X)
+    # W = X Q is the expensive part of cost, gradient, and acceptance test
+    # alike; the loop carries it so each outer iteration pays exactly one
+    # extra SpMM (for the trial point) beyond the tCG Hessian products.
+    def apply_W(X):
+        return be.applyQ(P, X)
 
-    def rgrad(X):
-        return be.tangent(P, X, be.egrad(P, G, X))
+    def f_of(X, W):
+        fX = 0.5 * tvdot(W, X)
+        if G is not None:
+            fX = fX + tvdot(X, G)
+        return fX
 
-    def try_step(X, radius):
-        """One trust-region step proposal; returns (X_new, rho, accept)."""
-        fX = f(X)
-        egrad = be.egrad(P, G, X)
+    def egrad_of(W):
+        return W if G is None else tadd(W, G)
+
+    def rgrad_of(X, W):
+        return be.tangent(P, X, egrad_of(W))
+
+    def try_step(X, W, radius):
+        """One trust-region step proposal."""
+        fX = f_of(X, W)
+        egrad = egrad_of(W)
         grad = be.tangent(P, X, egrad)
         res = _run_tcg(P, X, grad, egrad, M, radius, cfg, be=be)
         Xtest = be.retract(P, X, res.eta)
-        ftest = f(Xtest)
+        Wtest = apply_W(Xtest)
+        ftest = f_of(Xtest, Wtest)
         model_decrease = -(tvdot(grad, res.eta)
                            + 0.5 * tvdot(res.eta, res.Heta))
         reg = (cfg.rho_regularization * jnp.finfo(fX.dtype).eps
@@ -347,38 +371,46 @@ def _rtr_impl(P, G, M, X0, cfg: RTRConfig, be=RA_BACKEND) -> RTRResult:
         )
         accept = jnp.logical_and(rho > cfg.rho_accept, ftest <= fX + reg)
         X_new = twhere(accept, Xtest, X)
+        W_new = twhere(accept, Wtest, W)
         hit_boundary = tnorm(res.eta) >= 0.99 * radius
-        return X_new, rho, accept, hit_boundary
+        return X_new, W_new, rho, accept, hit_boundary
+
+    W0 = apply_W(X0)
 
     if cfg.single_accepted_step:
         # RBCD mode (QuadraticOptimizer.cpp:253-273): keep shrinking the
         # radius (/4) until one step is accepted, or give up after
         # max_rejections tries.
         def cond(s):
-            X, radius, it, accepted = s
+            X, W, radius, it, accepted = s
             return jnp.logical_and(it <= cfg.max_rejections,
                                    jnp.logical_not(accepted))
 
         def body(s):
-            X, radius, it, _ = s
-            X_new, rho, accept, _ = try_step(X, radius)
-            return (X_new, radius / 4.0, it + 1, accept)
+            X, W, radius, it, _ = s
+            X_new, W_new, rho, accept, _ = try_step(X, W, radius)
+            return (X_new, W_new, radius / 4.0, it + 1, accept)
 
         # skip if already below tolerance (QuadraticOptimizer.cpp:54-56)
-        g0 = tnorm(rgrad(X0))
+        g0 = tnorm(rgrad_of(X0, W0))
         below = g0 < cfg.gradnorm_tol
-        X, _, it, accepted = jax.lax.while_loop(
+        X, W, _, it, accepted = jax.lax.while_loop(
             cond, body,
-            (X0, jnp.asarray(cfg.initial_radius), jnp.zeros((), jnp.int32),
-             below),
+            (X0, W0, jnp.asarray(cfg.initial_radius),
+             jnp.zeros((), jnp.int32), below),
         )
         return RTRResult(
-            X=X, f_final=f(X), gradnorm_final=tnorm(rgrad(X)),
+            X=X, f_final=f_of(X, W), gradnorm_final=tnorm(rgrad_of(X, W)),
             outer_iters=it, accepted=jnp.logical_or(accepted, below),
         )
 
-    def step(X, radius):
-        X_new, rho, accept, hit_boundary = try_step(X, radius)
+    def cond(s):
+        X, W, radius, it, done, any_acc = s
+        return jnp.logical_and(it < cfg.max_outer, jnp.logical_not(done))
+
+    def body(s):
+        X, W, radius, it, done, any_acc = s
+        X_new, W_new, rho, accept, hit_boundary = try_step(X, W, radius)
         radius_new = jnp.where(
             rho < 0.25,
             radius / 4.0,
@@ -388,30 +420,21 @@ def _rtr_impl(P, G, M, X0, cfg: RTRConfig, be=RA_BACKEND) -> RTRResult:
                 radius,
             ),
         )
-        return X_new, radius_new, accept
-
-    def cond(s):
-        X, radius, it, done, any_acc = s
-        return jnp.logical_and(it < cfg.max_outer, jnp.logical_not(done))
-
-    def body(s):
-        X, radius, it, done, any_acc = s
-        X_new, radius_new, accept = step(X, radius)
-        gnorm = tnorm(rgrad(X_new))
+        gnorm = tnorm(rgrad_of(X_new, W_new))
         done_new = gnorm < cfg.gradnorm_tol
-        return (X_new, radius_new, it + 1, done_new,
+        return (X_new, W_new, radius_new, it + 1, done_new,
                 jnp.logical_or(any_acc, accept))
 
-    g0 = tnorm(rgrad(X0))
+    g0 = tnorm(rgrad_of(X0, W0))
     init_done = g0 < cfg.gradnorm_tol
-    X, _, it, _, any_acc = jax.lax.while_loop(
+    X, W, _, it, _, any_acc = jax.lax.while_loop(
         cond, body,
-        (X0, jnp.asarray(cfg.initial_radius), jnp.zeros((), jnp.int32),
-         init_done, init_done),
+        (X0, W0, jnp.asarray(cfg.initial_radius),
+         jnp.zeros((), jnp.int32), init_done, init_done),
     )
     return RTRResult(
-        X=X, f_final=f(X), gradnorm_final=tnorm(rgrad(X)), outer_iters=it,
-        accepted=any_acc,
+        X=X, f_final=f_of(X, W), gradnorm_final=tnorm(rgrad_of(X, W)),
+        outer_iters=it, accepted=any_acc,
     )
 
 
