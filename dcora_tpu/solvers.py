@@ -142,13 +142,15 @@ def solve_pgo(measurements: List[RelativePosePoseMeasurement],
     M = make_preconditioner(g, P)
     X0 = lifted.from_pose_array(T)
     cfg = rtr_config_from_params(params)
-    G = _zero_G(g.dims, d)
+    # priors (if any) contribute their linear term; None otherwise
+    G = prob.linear_term(P, None, g.n, g.l, g.dims.num_trans)
     # the f32 coarse phase pays two extra XLA compilations; only worth it
     # when the f64 iteration cost dominates (big problems)
     if fast and g.n >= FAST_PATH_MIN_POSES:
-        res, _ = rtr_fast(g, P, M, X0, cfg, G=None)
+        res, _ = rtr_fast(g, P, M, X0, cfg, G=G)
     else:
-        res = rtr(P, G, M, X0, cfg)
+        res = rtr(P, G if G is not None else _zero_G(g.dims, d),
+                  M, X0, cfg)
     X = res.X
     out = np.zeros((g.n, d, d + 1))
     out[:, :, :d] = np.asarray(X.rot)

@@ -68,6 +68,15 @@ def riemannian_staircase(
     P = g.problem_data()
     M = make_preconditioner(g, P)
     dims = g.dims
+    # priors contribute a linear term (prior_G); None without priors
+    G_prior = prob.linear_term(P, None, dims.n, dims.l, dims.num_trans)
+
+    def G_at_rank(rr: int):
+        if G_prior is None:
+            return None
+        if G_prior.r < rr:
+            return lifted.pad_rank(G_prior, rr)
+        return lifted.truncate_rank(G_prior, rr)
 
     assert X0.r == r_min
     X = X0
@@ -86,9 +95,11 @@ def riemannian_staircase(
         from dcora_tpu.solvers import FAST_PATH_MIN_POSES, rtr_fast
 
         if g.n >= FAST_PATH_MIN_POSES:
-            res, TP = rtr_fast(g, P, M, X, cfg, G=None, TP=TP)
+            res, TP = rtr_fast(g, P, M, X, cfg, G=G_at_rank(r), TP=TP)
         else:
-            res = rtr(P, lifted.zeros(dims, r), M, X, cfg)
+            G = G_at_rank(r)
+            res = rtr(P, G if G is not None else lifted.zeros(dims, r),
+                      M, X, cfg)
         X = res.X
         if verbose:
             logger.info(
@@ -130,11 +141,15 @@ def riemannian_staircase(
         from dcora_tpu.solvers import FAST_PATH_MIN_POSES, rtr_fast
 
         if g.n >= FAST_PATH_MIN_POSES:
-            res_r, TP = rtr_fast(g, P, M, rounded, cfg, G=None, TP=TP)
+            res_r, TP = rtr_fast(g, P, M, rounded, cfg,
+                                 G=G_at_rank(dims.d), TP=TP)
             rounded = res_r.X
         else:
-            G = lifted.zeros(dims, dims.d)
-            rounded = rtr(P, G, M, rounded, cfg).X
+            G = G_at_rank(dims.d)
+            rounded = rtr(
+                P, G if G is not None else lifted.zeros(dims, dims.d),
+                M, rounded, cfg
+            ).X
 
     f_final = float(prob.cost(P, X))
     return StaircaseResult(

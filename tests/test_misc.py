@@ -68,3 +68,23 @@ def test_logger_tum_output(tmp_path, data_dir):
     assert np.isclose(np.linalg.norm(q), 1.0)
     log.log_measurements(ds.pose_pose_measurements, "meas.txt")
     assert os.path.getsize(tmp_path / "meas.txt") > 0
+
+
+def test_phase_timer_and_simple_timer():
+    import time as _time
+
+    from dcora_tpu.utils.timing import PhaseTimer, SimpleTimer
+
+    t = SimpleTimer()
+    t.tic()
+    _time.sleep(0.01)
+    ms = t.toc()
+    assert ms >= 5.0
+
+    pt = PhaseTimer()
+    for _ in range(3):
+        with pt.phase("work"):
+            _time.sleep(0.002)
+    assert pt.count["work"] == 3
+    assert pt.ms["work"] >= 3.0
+    assert "work:" in pt.report()
