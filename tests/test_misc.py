@@ -88,3 +88,42 @@ def test_phase_timer_and_simple_timer():
     assert pt.count["work"] == 3
     assert pt.ms["work"] >= 3.0
     assert "work:" in pt.report()
+
+
+def test_umeyama_and_ate():
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    from dcora_tpu.core.manifold import rotation_project
+    from dcora_tpu.utils.evaluation import (
+        ate_rmse,
+        rotation_error_deg,
+        umeyama_alignment,
+    )
+
+    pts = rng.standard_normal((40, 3)) * 5
+    R_true = np.asarray(
+        rotation_project(jnp.asarray(rng.standard_normal((3, 3))))
+    )
+    t_true = rng.standard_normal(3)
+    dst = (R_true @ pts.T).T + t_true
+    R, t, s = umeyama_alignment(pts, dst)
+    np.testing.assert_allclose(R, R_true, atol=1e-10)
+    np.testing.assert_allclose(t, t_true, atol=1e-10)
+    assert s == 1.0
+
+    # ATE of a rigidly transformed trajectory is ~0 after alignment
+    assert ate_rmse(pts, dst) < 1e-10
+    # and equals the noise RMS for a noisy one
+    noisy = dst + 0.01 * rng.standard_normal(dst.shape)
+    ate = ate_rmse(noisy, dst, align=False)
+    assert 0.005 < ate < 0.03
+
+    # rotation errors vanish for aligned rotations
+    Rs = np.stack([
+        np.asarray(rotation_project(jnp.asarray(rng.standard_normal((3, 3)))))
+        for _ in range(10)
+    ])
+    errs = rotation_error_deg(np.einsum("ij,njk->nik", R_true, Rs), Rs,
+                              R_align=R_true.T)
+    assert errs.max() < 0.01  # arccos amplifies ~eps trace noise to ~1e-4 rad
