@@ -1,0 +1,144 @@
+"""Scaling-mode DC2-PGO: synchronous-parallel RBCD over a device mesh.
+
+The TPU-native counterpart of the sequential greedy RBCD driver
+(multi_robot_pgo.py / MultiRobotExample.cpp): every agent block updates
+concurrently against its neighbors' previous-round public states, with the
+separator exchange as one all_gather over the mesh axis per round
+(SURVEY.md 2.3). Both schemes converge to first-order critical points of
+the same block-separable lifted cost; this one maps to hardware.
+
+On a single-chip or CPU setup, run with virtual devices:
+
+  XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+  python -m dcora_tpu.drivers.parallel_pgo 8 file.g2o --cpu
+
+On a real multi-chip slice the mesh spans the chips and the all_gather
+rides ICI; multi-host works unchanged via jax.distributed.initialize.
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+from typing import List
+
+import numpy as np
+
+import dcora_tpu  # noqa: F401
+
+
+def run(num_agents: int, g2o_path: str, r: int = 5, max_rounds: int = 1000,
+        rgrad_norm_tol: float = 0.1, check_every: int = 10,
+        verbose: bool = False):
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from dcora_tpu.core import lifted, problem as prob
+    from dcora_tpu.core.graph import LocalGraph
+    from dcora_tpu.core.init import chordal_initialization
+    from dcora_tpu.core.lifted import RAState
+    from dcora_tpu.core.rtr import RTRConfig, riemannian_gradient
+    from dcora_tpu.drivers.multi_robot_pgo import (
+        partition_measurements,
+        robot_slice,
+    )
+    from dcora_tpu.io import read_g2o_file
+    from dcora_tpu.parallel.rbcd import (
+        build_parallel_problem,
+        make_parallel_round,
+        pack_states,
+        unpack_states,
+    )
+
+    t0 = time.time()
+    ds = read_g2o_file(g2o_path)
+    ms = ds.pose_pose_measurements
+    d, n = ds.dim, ds.num_poses
+
+    devices = jax.devices()
+    assert len(devices) >= num_agents, (
+        f"need {num_agents} devices, have {len(devices)} "
+        "(use XLA_FLAGS=--xla_force_host_platform_device_count=N)"
+    )
+    mesh = Mesh(np.array(devices[:num_agents]), ("agents",))
+
+    odo, priv, shared, _ = partition_measurements(ms, n, num_agents)
+    graphs: List[LocalGraph] = []
+    for a in range(num_agents):
+        g = LocalGraph(a, r, d)
+        g.set_measurements(odo[a] + priv[a] + shared[a])
+        graphs.append(g)
+
+    T = chordal_initialization(ms)
+    X = lifted.pad_rank(lifted.from_pose_array(T), r)
+    states = []
+    for a in range(num_agents):
+        s, e = robot_slice(n, num_agents, a)
+        states.append(RAState(rot=X.rot[s:e], sph=X.sph[:0],
+                              trn=X.trn[s:e]))
+
+    pp = build_parallel_problem(graphs)
+    cfg = RTRConfig(gradnorm_tol=1e-2, max_inner=50,
+                    single_accepted_step=True)
+    round_fn = make_parallel_round(pp, cfg, mesh)
+
+    central = LocalGraph(0, r, d)
+    central.set_measurements(ms)
+    P = central.problem_data()
+    G0 = lifted.zeros(central.dims, r)
+
+    def global_state(Xb):
+        parts = unpack_states(pp, Xb)
+        return RAState(
+            rot=jnp.concatenate([s.rot for s in parts]),
+            sph=jnp.zeros((0, r)),
+            trn=jnp.concatenate([s.trn for s in parts]),
+        )
+
+    Xb = pack_states(pp, states)
+    gradnorm = float("inf")
+    rounds = 0
+    for it in range(max_rounds):
+        Xb, gnorms = round_fn(Xb)
+        rounds += 1
+        if it % check_every == 0 or it == max_rounds - 1:
+            Xg = global_state(Xb)
+            cost = 2.0 * float(prob.cost(P, Xg))
+            gradnorm = float(riemannian_gradient(P, Xg, G0).norm())
+            if verbose:
+                print(f"round = {it} | cost = {cost:.6f} | "
+                      f"gradnorm = {gradnorm:.4f}")
+            if gradnorm < rgrad_norm_tol:
+                break
+
+    Xg = global_state(Xb)
+    cost = 2.0 * float(prob.cost(P, Xg))
+    elapsed = time.time() - t0
+    print(f"parallel-RBCD: agents={num_agents} rounds={rounds} "
+          f"cost={cost:.6f} gradnorm={gradnorm:.4f} elapsed={elapsed:.1f}s "
+          f"({rounds * n / max(elapsed, 1e-9):.0f} pose-updates/s)")
+    return Xg, cost, gradnorm
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("num_agents", type=int)
+    ap.add_argument("g2o")
+    ap.add_argument("--rank", type=int, default=5)
+    ap.add_argument("--rounds", type=int, default=1000)
+    ap.add_argument("--tol", type=float, default=0.1)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (virtual devices)")
+    ap.add_argument("--verbose", action="store_true")
+    args = ap.parse_args()
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    run(args.num_agents, args.g2o, r=args.rank, max_rounds=args.rounds,
+        rgrad_norm_tol=args.tol, verbose=args.verbose)
+
+
+if __name__ == "__main__":
+    main()

@@ -133,3 +133,15 @@ def test_parallel_matches_sequential_fixed_point(parallel_setup):
     Xglob2 = _global_state(pp, unpack_states(pp, Xb2), central, r)
     delta = float((Xglob2 - Xopt).norm())
     assert delta < 1e-6, delta
+
+
+def test_parallel_pgo_driver_smoke(data_dir):
+    """The user-facing scaling-mode driver converges on the CPU mesh."""
+    from dcora_tpu.drivers.parallel_pgo import run
+
+    Xg, cost, gradnorm = run(
+        4, f"{data_dir}/smallGrid3D.g2o", max_rounds=80,
+        rgrad_norm_tol=0.5, check_every=5,
+    )
+    assert gradnorm < 0.5
+    assert np.isfinite(cost)
