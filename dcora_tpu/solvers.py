@@ -104,7 +104,7 @@ def rtr_fast(g: LocalGraph, P: prob.ProblemData, M, X0: RAState,
 
     from dcora_tpu.core import tiled
     from dcora_tpu.core.manifold import project
-    from dcora_tpu.core.rtr import riemannian_gradient, rtr_flat
+    from dcora_tpu.core.rtr import FLAT_BACKEND, rtr_chunked
 
     r = X0.r
     r_pad = max(8, -(-r // 8) * 8)
@@ -114,16 +114,36 @@ def rtr_fast(g: LocalGraph, P: prob.ProblemData, M, X0: RAState,
     Gf = None
     if G is not None:
         Gf = tiled.to_flat(TP, G, r_pad=r_pad).astype(jnp.float32)
-    g0 = float(riemannian_gradient(P, X0, G).norm())
-    cfg32 = dataclasses.replace(
-        cfg, gradnorm_tol=max(cfg.gradnorm_tol, coarse_rel * g0)
-    )
-    res32 = rtr_flat(TP, Gf, Xf0, cfg32)
+    del coarse_rel  # kept for API compat; the stall loop below adapts
+    from dcora_tpu.core.rtr import rtr
+
+    # Coarse phase: drive the f32 path until it reaches the requested
+    # tolerance or stalls at its precision floor (gradnorm stops
+    # improving between chunks).  Chunked device calls throughout: a
+    # single XLA program running for minutes trips RPC watchdogs on
+    # tunneled single-chip setups and kills the TPU worker mid-solve.
+    cfg32 = dataclasses.replace(cfg, gradnorm_tol=max(cfg.gradnorm_tol,
+                                                      1e-30))
+    chunk = 25
+    cfg32_c = dataclasses.replace(cfg32, max_outer=chunk)
+    Xf = Xf0
+    total = 0
+    prev_gn = float("inf")
+    while total < cfg.max_outer:
+        res32 = rtr(TP, Gf, None, Xf, cfg32_c, be=FLAT_BACKEND)
+        Xf = res32.X
+        gn = float(res32.gradnorm_final)
+        total += int(res32.outer_iters)
+        if gn < cfg32.gradnorm_tol or int(res32.outer_iters) < chunk:
+            break
+        if gn > 0.7 * prev_gn:
+            break  # f32 floor: <30% improvement over a whole chunk
+        prev_gn = gn
     X_warm = project(
         jax.tree.map(lambda a: a.astype(jnp.float64),
-                     tiled.from_flat(TP, res32.X, r=r))
+                     tiled.from_flat(TP, Xf, r=r))
     )
-    return rtr(P, G, M, X_warm, cfg), TP
+    return rtr_chunked(P, G, M, X_warm, cfg, chunk=4), TP
 
 
 def solve_pgo(measurements: List[RelativePosePoseMeasurement],
