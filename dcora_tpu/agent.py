@@ -50,6 +50,7 @@ from dcora_tpu.types import (
     InitializationMethod,
     MAP_ID,
     PoseID,
+    ROptMethod,
     ROptParameters,
     RobustCostParameters,
     RobustCostType,
@@ -598,6 +599,16 @@ class Agent:
 
         X0 = self.Y if acceleration else self.X
         opt = self.params.localOptimizationParams
+        if opt.method == ROptMethod.RGD:
+            # single preconditioned Riemannian gradient step (reference:
+            # QuadraticOptimizer.cpp:110-180, selected via ROptMethod::RGD)
+            from dcora_tpu.core.rtr import rgd_step
+
+            M_rgd = M if opt.RGD_use_preconditioner else None
+            self.X = rgd_step(self._cached_P_local, G, M_rgd, X0,
+                              opt.RGD_stepsize)
+            self.local_opt_result = None
+            return True
         cfg = RTRConfig(
             gradnorm_tol=opt.gradnorm_tol,
             max_inner=opt.RTR_tCG_iterations,

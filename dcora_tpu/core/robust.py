@@ -63,12 +63,16 @@ class RobustCost:
     @staticmethod
     def compute_error_threshold_at_quantile(quantile: float,
                                             dimension: int) -> float:
-        """sqrt(chi2inv(q, 6)), 3D only (reference:
-        DCORA_robust.cpp:139-148)."""
-        assert dimension == 3, "quantile threshold supports 3D only"
+        """sqrt(chi2inv(q, dof)) with dof = SE(d) degrees of freedom.
+
+        The reference hard-codes dof=6 and CHECKs dimension==3
+        (DCORA_robust.cpp:139-148); we extend to 2D (dof=3) rather than
+        crash, since the 2D datasets are otherwise fully supported."""
+        assert dimension in (2, 3), "dimension must be 2 or 3"
         assert quantile > 0
+        dof = 6 if dimension == 3 else 3
         if quantile < 1:
-            return float(np.sqrt(chi2inv(quantile, 6)))
+            return float(np.sqrt(chi2inv(quantile, dof)))
         return 1e5
 
 

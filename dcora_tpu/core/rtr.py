@@ -513,6 +513,89 @@ def rtr_mixed(P: ProblemData, G: RAState, M: Optional[Preconditioner],
     return rtr(P, G, M, X_warm, cfg)
 
 
+def _rsd_impl(P, G, M, X0, cfg: RTRConfig, be=RA_BACKEND) -> RTRResult:
+    """Riemannian steepest descent with backtracking (Armijo) line search.
+
+    TPU-native replacement for the reference's ROPTLIB::RSD path
+    (QuadraticOptimizer.cpp:182-232, configured at :282-289 with GRAD_F
+    stop, tol 1e-2, max 10 iterations).  The search direction is the
+    (optionally preconditioned) negative Riemannian gradient; the initial
+    trial step exploits that f is quadratic in the embedding space --
+    t0 = <g,dir>/<dir, Hess dir> is the exact minimizer pre-retraction --
+    and Armijo backtracking (factor 1/2, c1=1e-4, <=25 trials) accounts for
+    the retraction curvature.
+    """
+    max_ls = 25
+    c1 = 1e-4
+
+    def apply_W(X):
+        return be.applyQ(P, X)
+
+    def f_of(X, W):
+        fX = 0.5 * tvdot(W, X)
+        if G is not None:
+            fX = fX + tvdot(X, G)
+        return fX
+
+    def egrad_of(W):
+        return W if G is None else tadd(W, G)
+
+    def body(s):
+        X, W, it, done = s
+        egrad = egrad_of(W)
+        grad = be.tangent(P, X, egrad)
+        direction = tscale(be.precond(P, M, X, grad), -1.0)
+        gd = tvdot(grad, direction)  # < 0
+        # curvature along the direction (Riemannian Hessian quadratic form)
+        aux = be.hess_setup(P, X, egrad)
+        Hd = _rhess(be, P, X, direction, aux)
+        dHd = tvdot(direction, Hd)
+        t0 = jnp.where(dHd > 0, -gd / jnp.where(dHd == 0, 1.0, dHd), 1.0)
+        fX = f_of(X, W)
+
+        def ls_cond(ls):
+            t, _, _, ok, tries = ls
+            return jnp.logical_and(tries < max_ls, jnp.logical_not(ok))
+
+        def ls_body(ls):
+            t, _, _, _, tries = ls
+            Xt = be.retract(P, X, tscale(direction, t))
+            Wt = apply_W(Xt)
+            ft = f_of(Xt, Wt)
+            ok = ft <= fX + c1 * t * gd
+            return (t * 0.5, Xt, Wt, ok, tries + 1)
+
+        t_fin, Xt, Wt, ok, _ = jax.lax.while_loop(
+            ls_cond, ls_body, (t0, X, W, jnp.asarray(False),
+                               jnp.zeros((), jnp.int32)),
+        )
+        X_new = twhere(ok, Xt, X)
+        W_new = twhere(ok, Wt, W)
+        gnorm = tnorm(be.tangent(P, X_new, egrad_of(W_new)))
+        done_new = jnp.logical_or(gnorm < cfg.gradnorm_tol,
+                                  jnp.logical_not(ok))
+        return (X_new, W_new, it + 1, done_new)
+
+    def cond(s):
+        _, _, it, done = s
+        return jnp.logical_and(it < cfg.max_outer, jnp.logical_not(done))
+
+    W0 = apply_W(X0)
+    g0 = tnorm(be.tangent(P, X0, egrad_of(W0)))
+    X, W, it, _ = jax.lax.while_loop(
+        cond, body,
+        (X0, W0, jnp.zeros((), jnp.int32), g0 < cfg.gradnorm_tol),
+    )
+    return RTRResult(
+        X=X, f_final=f_of(X, W),
+        gradnorm_final=tnorm(be.tangent(P, X, egrad_of(W))),
+        outer_iters=it, accepted=it > 0,
+    )
+
+
+rsd = jax.jit(_rsd_impl, static_argnames=("cfg", "be"))
+
+
 def rgd_step(P: ProblemData, G: RAState, M: Optional[Preconditioner],
              X: RAState, stepsize: float) -> RAState:
     """Single preconditioned Riemannian gradient step

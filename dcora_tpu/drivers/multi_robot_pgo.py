@@ -115,7 +115,8 @@ def run(num_robots: int, g2o_path: str, acceleration: bool = True,
         rgrad_norm_tol: float = 0.1, min_eig_num_tol: float = 1e-3,
         init_method: InitializationMethod = InitializationMethod.Random,
         rbcd_only: bool = False, verbose: bool = False,
-        log_directory: str = "") -> MultiRobotResult:
+        log_directory: str = "",
+        checkpoint_path: str = "") -> MultiRobotResult:
     t_start = time.time()
     ds = read_g2o_file(g2o_path)
     measurements = ds.pose_pose_measurements
@@ -156,7 +157,17 @@ def run(num_robots: int, g2o_path: str, acceleration: bool = True,
                   for i in range(n)], dtype=np.int32)
     )
 
-    while r < r_max:
+    if checkpoint_path:
+        import os
+
+        from dcora_tpu.utils.checkpoint import load_checkpoint
+        if os.path.exists(checkpoint_path):
+            Xcurr, r, _, _ = load_checkpoint(checkpoint_path)
+            logger.info("resuming DC2-PGO from checkpoint at rank %d", r)
+
+    # optimize at every rank entered, including an escape landing at r_max
+    # (reference optimizes each entered rank; see staircase.py note)
+    while True:
         central = LocalGraph(0, r, d)
         central.set_measurements(measurements)
         P = central.problem_data()
@@ -269,14 +280,28 @@ def run(num_robots: int, g2o_path: str, acceleration: bool = True,
             Xcurr = Xopt
             break
         logger.info("saddle at rank %d, theta=%.3e", r, theta)
+        if r >= r_max:
+            logger.warning("rank cap r_max=%d reached uncertified", r_max)
+            Xcurr = Xopt
+            break
+        # second-order alpha + the reference's escape tolerances
+        # (MultiRobotExample.cpp:354-363 drives escapeSaddle with
+        # gradient_tolerance=1e-6, precond tol=1e-6 and the second-order
+        # alpha heuristic of QuadraticProblem.cpp:138-234)
         ok, Xnext = escape_saddle(
-            P, Xopt, theta, v, r + 1, is_second_order=False
+            P, Xopt, theta, v, r + 1,
+            gradient_tolerance=1e-6,
+            preconditioned_gradient_tolerance=1e-6,
+            is_second_order=True,
         )
         if not ok:
             Xcurr = Xopt
             break
         Xcurr = Xnext
         r += 1
+        if checkpoint_path:
+            from dcora_tpu.utils.checkpoint import save_checkpoint
+            save_checkpoint(checkpoint_path, Xcurr, r)
 
     return MultiRobotResult(
         X=Xcurr, certified=certified, final_rank=r, total_iters=total_iter,

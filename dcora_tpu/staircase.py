@@ -58,8 +58,17 @@ def riemannian_staircase(
     num_lanczos: int = 64,
     refine: bool = True,
     verbose: bool = False,
+    checkpoint_path: Optional[str] = None,
 ) -> StaircaseResult:
+    """Run the staircase; when ``checkpoint_path`` is given, the iterate and
+    rank are persisted after every completed rank and a preempted run resumes
+    from the saved rank instead of r_min (a capability the reference lacks;
+    its only warm start is the in-memory ``Xcurr.topRows(r+1)`` carry,
+    MultiRobotExample.cpp:360)."""
+    import os
+
     from dcora_tpu.solvers import make_preconditioner
+    from dcora_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
 
     t_start = time.time()
     opt_params = opt_params or ROptParameters(
@@ -85,7 +94,16 @@ def riemannian_staircase(
 
     TP = None
     r = r_min
-    while r < r_max:
+    if checkpoint_path and os.path.exists(checkpoint_path):
+        X, r, _, _ = load_checkpoint(checkpoint_path)
+        logger.info("resuming staircase from checkpoint at rank %d", r)
+
+    # The loop body optimizes at EVERY rank entered — including an escape
+    # that lands exactly at r_max (the previous `while r < r_max` form
+    # skipped the final-rank solve, so rounding proceeded from a raw escape
+    # point rather than a critical point; reference optimizes each entered
+    # rank, SingleRobotExample_RASLAM.cpp:196-282).
+    while True:
         cfg = RTRConfig(
             gradnorm_tol=opt_params.gradnorm_tol,
             max_outer=opt_params.RTR_iterations,
@@ -107,6 +125,9 @@ def riemannian_staircase(
                 float(res.gradnorm_final),
             )
 
+        if checkpoint_path:
+            save_checkpoint(checkpoint_path, X, r)
+
         is_psd, theta, v = fast_verification(
             P, X, min_eig_num_tol, num_lanczos, TP=TP
         )
@@ -116,6 +137,9 @@ def riemannian_staircase(
         min_eigs.append(theta)
         if verbose:
             logger.info("rank %d: saddle, curvature theta=%.3e", r, theta)
+        if r >= r_max:
+            logger.warning("rank cap r_max=%d reached uncertified", r_max)
+            break
         ok, X_next = escape_saddle(
             P, X, theta, v, r + 1,
             gradient_tolerance=gradient_tolerance,
@@ -129,6 +153,8 @@ def riemannian_staircase(
             break
         X = X_next
         r += 1
+        if checkpoint_path:
+            save_checkpoint(checkpoint_path, X, r)
 
     rounded = round_solution(X)
     if refine:
