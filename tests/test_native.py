@@ -19,7 +19,28 @@ from dcora_tpu.measurements import (
     RelativePosePoseMeasurement,
 )
 
-DATA = "/root/reference/data"
+DATA = os.environ.get("DCORA_DATA_DIR", "/root/reference/data")
+
+
+def _dp(name):
+    """Dataset path; generated-cache fallback, else skip."""
+    path = os.path.join(DATA, name)
+    if os.path.exists(path):
+        return path
+    cache = os.path.join(os.path.dirname(__file__), os.pardir,
+                         ".data_cache")
+    cached = os.path.join(cache, name)
+    if os.path.exists(cached):
+        return cached
+    from dcora_tpu import datasets
+
+    if name in datasets._TEST_SETS or name in (
+        "pose_graph_optimization_test_3d.g2o",
+        "range_aided_slam_test_3d.pyfg",
+    ):
+        datasets.ensure_test_datasets(os.path.abspath(cache))
+        return cached
+    pytest.skip(f"dataset {name} unavailable")
 
 pytestmark = pytest.mark.skipif(
     not native.available(), reason="native library unavailable"
@@ -53,7 +74,7 @@ def test_g2o_parity(name):
     from dcora_tpu.io import read_g2o_file
 
     nv, py = _with_python_fallback(
-        lambda: read_g2o_file(os.path.join(DATA, name))
+        lambda: read_g2o_file(_dp(name))
     )
     assert py.dim == nv.dim and py.num_poses == nv.num_poses
     assert len(py.pose_pose_measurements) == len(nv.pose_pose_measurements)
@@ -81,7 +102,7 @@ def test_pyfg_parity(name):
     from dcora_tpu.io import read_pyfg_file
 
     nv, py = _with_python_fallback(
-        lambda: read_pyfg_file(os.path.join(DATA, name))
+        lambda: read_pyfg_file(_dp(name))
     )
     assert py.dim == nv.dim and py.robot_IDs == nv.robot_IDs
     for attr in (
@@ -149,12 +170,12 @@ def test_preconditioner_parity(case):
     from dcora_tpu.types import GraphType
 
     if case == "pgo":
-        ds = read_g2o_file(os.path.join(DATA, "smallGrid3D.g2o"))
+        ds = read_g2o_file(_dp("smallGrid3D.g2o"))
         g = LocalGraph(0, 5, ds.dim)
         g.set_measurements(ds.pose_pose_measurements)
     else:
         pf = read_pyfg_file(
-            os.path.join(DATA, "range_aided_slam_test_3d.pyfg")
+            _dp("range_aided_slam_test_3d.pyfg")
         )
         g = LocalGraph(0, 4, pf.dim, GraphType.RangeAidedSLAMGraph)
         g.set_measurements(get_global_measurements(pf).relative_measurements)
