@@ -1,0 +1,235 @@
+"""Independent solution verification via scipy (no JAX, no engine reuse).
+
+Parity evidence for the TPU build: the reference binaries cannot be built
+in this environment (their cmake fetches ROPTLIB/Spectra/gtest from GitHub
+at configure time — cmake/roptlib.cmake:6, cmake/spectra.cmake:5,
+cmake/gtest.cmake:7 — and the system lacks Eigen/SuiteSparse/Boost/glog;
+zero network egress).  Certifiable optimization gives an alternative,
+*falsifiable* parity protocol: the rank-restricted SDP relaxation has a
+unique certified optimum, so if this build's solution passes an
+independently-constructed dual-certificate check, it is the same global
+optimum the reference computes (both certify against the same matrix
+S = Q - Lambda(X), DCORA_utils.cpp:1898-1982).
+
+This module implements that check end-to-end in scipy, fully independent
+of the JAX engine:
+
+  * ``sparse_Q_ra``     — data matrix Q assembled from incidence matrices
+    (the documented construction of Graph.cpp:579-683 and :824-1188),
+    RA column ordering [Y1..Yn | r1..rl | p1..pn | L1..Lb];
+  * ``riemannian_gradnorm`` — first-order criticality of X under that Q;
+  * ``certificate_min_eig`` — lambda_min(S) via scipy.sparse.linalg on
+    S = Q - Lambda(X) with Lambda assembled from X and Q directly.
+
+``verify_solution`` bundles the three into one report dict.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import numpy as np
+import scipy.sparse as sp
+
+from dcora_tpu.measurements import (
+    RangeMeasurement,
+    RelativePoseLandmarkMeasurement,
+    RelativePosePoseMeasurement,
+)
+from dcora_tpu.types import StateType
+
+
+def split_measurements(measurements):
+    pp, pl, rg = [], [], []
+    for m in measurements:
+        if isinstance(m, RelativePosePoseMeasurement):
+            pp.append(m)
+        elif isinstance(m, RelativePoseLandmarkMeasurement):
+            pl.append(m)
+        elif isinstance(m, RangeMeasurement):
+            rg.append(m)
+        else:
+            raise TypeError(type(m))
+    return pp, pl, rg
+
+
+def sparse_Q_ra(pose_pose: List, pose_landmark: List, ranges: List,
+                n: int, l: int, b: int, d: int) -> sp.csr_matrix:  # noqa: E741
+    """Q in RA ordering from incidence matrices (scipy-only)."""
+    mpp = len(pose_pose)
+    mpl = len(pose_landmark)
+    mrg = len(ranges)
+    mpose = mpp + mpl
+
+    ARhoT = sp.lil_matrix((d * n, d * mpp))
+    ATauT = sp.lil_matrix((n + b, mpose))
+    TT = sp.lil_matrix((d * n, mpose))
+    omega_rho = np.zeros(d * mpp)
+    omega_tau = np.zeros(mpose)
+
+    for k, meas in enumerate(pose_pose):
+        i, j = meas.p1, meas.p2
+        w = meas.weight
+        omega_rho[k * d:(k + 1) * d] = w * meas.kappa
+        omega_tau[k] = w * meas.tau
+        ARhoT[i * d:(i + 1) * d, k * d:(k + 1) * d] = -meas.R
+        for r in range(d):
+            ARhoT[j * d + r, k * d + r] = 1.0
+        TT[i * d:(i + 1) * d, k] = -meas.t.reshape(-1, 1)
+        ATauT[i, k] = -1.0
+        ATauT[j, k] = 1.0
+
+    for kk, meas in enumerate(pose_landmark):
+        k = mpp + kk
+        i, j = meas.p1, meas.p2
+        omega_tau[k] = meas.weight * meas.tau
+        TT[i * d:(i + 1) * d, k] = -meas.t.reshape(-1, 1)
+        ATauT[i, k] = -1.0
+        ATauT[n + j, k] = 1.0
+
+    CT = sp.lil_matrix((n + b, mrg))
+    PT = sp.lil_matrix((l, mrg))
+    DT = sp.lil_matrix((mrg, mrg))
+    omega_rng = np.zeros(mrg)
+
+    def trans_idx(p, st):
+        return p if st == StateType.Pose else n + p
+
+    for k, meas in enumerate(ranges):
+        omega_rng[k] = meas.weight * meas.precision
+        DT[k, k] = meas.range
+        PT[meas.l, k] = 1.0
+        CT[trans_idx(meas.p1, meas.stateType1), k] = -1.0
+        CT[trans_idx(meas.p2, meas.stateType2), k] = 1.0
+
+    ARhoT, ATauT, TT, CT, PT, DT = (
+        x.tocsr() for x in (ARhoT, ATauT, TT, CT, PT, DT)
+    )
+    ORho = sp.diags(omega_rho)
+    OTau = sp.diags(omega_tau)
+    ORng = sp.diags(omega_rng)
+
+    Q11 = ARhoT @ ORho @ ARhoT.T + TT @ OTau @ TT.T
+    Q13 = TT @ OTau @ ATauT.T
+    Q22 = PT @ ORng @ DT @ DT @ PT.T
+    Q23 = PT @ DT @ ORng @ CT.T
+    Q33 = ATauT @ OTau @ ATauT.T + CT @ ORng @ CT.T
+
+    zero_l = sp.csr_matrix((d * n, l))
+    Q = sp.bmat(
+        [[Q11, zero_l, Q13],
+         [zero_l.T, Q22, Q23],
+         [Q13.T, Q23.T, Q33]],
+        format="csr",
+    )
+    return Q
+
+
+def _sym(A):
+    return 0.5 * (A + A.T)
+
+
+def riemannian_gradnorm(Q: sp.csr_matrix, Xf: np.ndarray, n: int,
+                        l: int, d: int) -> float:  # noqa: E741
+    """||P_T(X Q)||_F with the tangent projection done in numpy:
+    Stiefel blocks V - Y sym(Y^T V); oblique columns v - s <s,v>;
+    Euclidean identity."""
+    E = Xf @ Q  # [r, k]
+    G = E.copy()
+    for i in range(n):
+        Y = Xf[:, i * d:(i + 1) * d]
+        V = E[:, i * d:(i + 1) * d]
+        G[:, i * d:(i + 1) * d] = V - Y @ _sym(Y.T @ V)
+    for q in range(l):
+        s = Xf[:, n * d + q]
+        v = E[:, n * d + q]
+        G[:, n * d + q] = v - s * float(s @ v)
+    return float(np.linalg.norm(G))
+
+
+def certificate_min_eig(Q: sp.csr_matrix, Xf: np.ndarray, n: int,
+                        l: int, d: int,
+                        tol: float = 0.0) -> float:  # noqa: E741
+    """lambda_min(S), S = Q - Lambda(X): Lambda has sym(Y_i^T (XQ)_i)
+    blocks on the Stiefel diagonal and <s_q, (XQ)_q> on the oblique
+    diagonal (DCORA_utils.cpp:1898-1982), assembled here from X and Q
+    directly and solved with scipy Lanczos (eigsh)."""
+    E = Xf @ Q
+    blocks = []
+    rows, cols, vals = [], [], []
+    for i in range(n):
+        Lam = _sym(Xf[:, i * d:(i + 1) * d].T @ E[:, i * d:(i + 1) * d])
+        for a in range(d):
+            for c in range(d):
+                rows.append(i * d + a)
+                cols.append(i * d + c)
+                vals.append(Lam[a, c])
+    for q in range(l):
+        lam = float(Xf[:, n * d + q] @ E[:, n * d + q])
+        rows.append(n * d + q)
+        cols.append(n * d + q)
+        vals.append(lam)
+    k_dim = Q.shape[0]
+    Lambda = sp.csr_matrix((vals, (rows, cols)), shape=(k_dim, k_dim))
+    S = (Q - Lambda).tocsc()
+
+    # Spectrum-shifted Lanczos (the SE-Sync strategy the reference uses,
+    # DCORA_utils.cpp:1807-1896): ask for the largest-magnitude eigenvalue
+    # first, then the smallest of (S - lam_max I) recovers lambda_min
+    # robustly even when S >= 0 with a near-zero bottom eigenvalue.
+    from scipy.sparse.linalg import eigsh
+
+    lam_max = float(eigsh(S, k=1, which="LA",
+                          return_eigenvectors=False, tol=1e-6)[0])
+    shift = 1.01 * max(lam_max, 1e-6)
+    # B = shift*I - S is PSD with dominant eigenvalue shift - lambda_min,
+    # which Lanczos finds fastest (dominant extreme); recover lambda_min.
+    B = shift * sp.identity(k_dim, format="csc") - S
+    lam_b = float(eigsh(B, k=1, which="LA",
+                        return_eigenvectors=False, tol=1e-9)[0])
+    return shift - lam_b
+
+
+def verify_solution(measurements, X, d: int,
+                    eta: float = 1e-3) -> Dict[str, float]:
+    """Full independent report for a solution RAState ``X``.
+
+    Returns dict with: f_indep (0.5<XQ,X> under the scipy Q), gradnorm
+    (Riemannian, independent), min_eig (of the dual certificate),
+    certified (min_eig >= -eta), and the manifold feasibility error.
+    """
+    from dcora_tpu.core import lifted
+
+    dims = X.dims
+    n, l, b = dims.n, dims.l, dims.b
+    pp, pl, rg = split_measurements(measurements)
+    Q = sparse_Q_ra(pp, pl, rg, n, l, b, d)
+    Xf = np.asarray(lifted.to_flat(X), dtype=np.float64)
+    f = 0.5 * float(np.sum((Xf @ Q) * Xf))
+    gradnorm = riemannian_gradnorm(Q, Xf, n, l, d)
+    min_eig = certificate_min_eig(Q, Xf, n, l, d)
+
+    # manifold feasibility, independently: ||Y^T Y - I|| and |1 - ||s|||
+    feas = 0.0
+    for i in range(n):
+        Y = Xf[:, i * d:(i + 1) * d]
+        feas = max(feas, float(np.abs(Y.T @ Y - np.eye(d)).max()))
+    for q in range(l):
+        feas = max(
+            feas, abs(1.0 - float(np.linalg.norm(Xf[:, n * d + q])))
+        )
+    return {
+        "f_indep": f,
+        "gradnorm_indep": gradnorm,
+        "min_eig_indep": min_eig,
+        "certified_indep": bool(min_eig >= -eta),
+        "manifold_err": feas,
+    }
+
+
+def ate_vs_ground_truth(T_est: np.ndarray,
+                        T_gt: np.ndarray) -> Optional[float]:
+    """Umeyama-aligned ATE RMSE of trajectory translations."""
+    from dcora_tpu.utils.evaluation import ate_rmse
+
+    return float(ate_rmse(T_est, T_gt))

@@ -1,0 +1,265 @@
+"""Parity harness: run the reference's flagship configs end-to-end and
+record independently-verified results as committed artifacts.
+
+Because the reference binaries cannot be built here (network-fetched
+ROPTLIB/Spectra/gtest + missing system Eigen/SuiteSparse; see
+dcora_tpu/verification.py docstring), parity is established through the
+certifiable-optimization protocol: a solution passing the scipy-assembled
+dual-certificate check IS the global optimum of the same SDP relaxation
+the reference certifies against (DCORA_utils.cpp:1898-1982).  For every
+config this records: our engine's final cost, the independent scipy cost
+under the incidence-matrix Q, the independent Riemannian gradient norm,
+the independent certificate min-eig, rounded-solution cost, and ATE vs
+the dataset ground truth (where the file embeds one).
+
+Usage:
+  python tools/parity.py --platform cpu --configs tinyGrid3D smallGrid3D
+  python tools/parity.py --platform tpu --configs sphere2500
+
+Writes artifacts/parity/<name>.json; `--summary` regenerates the table in
+BASELINE_CAPTURED.md from all recorded artifacts.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
+
+ART = os.path.join(os.path.dirname(__file__), os.pardir, "artifacts",
+                   "parity")
+
+# reference driver configs being mirrored:
+#   PGO: MultiRobotExample.cpp / SingleRobotExample.cpp (r_min=5, eta 1e-3)
+#   RA:  SingleRobotExample_RASLAM.cpp (r_min=d, r_max=20, eta 1e-4)
+CONFIGS = {
+    "tinyGrid3D": dict(kind="pgo", file="tinyGrid3D.g2o", r_min=5,
+                       r_max=10, eta=1e-3),
+    "smallGrid3D": dict(kind="pgo", file="smallGrid3D.g2o", r_min=5,
+                        r_max=10, eta=1e-3),
+    "parking-garage": dict(kind="pgo", file="parking-garage.g2o", r_min=5,
+                           r_max=12, eta=1e-3),
+    "sphere2500": dict(kind="pgo", file="sphere2500.g2o", r_min=5,
+                       r_max=12, eta=1e-3),
+    "torus3D": dict(kind="pgo", file="torus3D.g2o", r_min=5, r_max=12,
+                    eta=1e-3),
+    "city10000": dict(kind="pgo", file="city10000.g2o", r_min=5, r_max=12,
+                      eta=1e-3),
+    "ra_slam_test_3d": dict(kind="ra", file="range_aided_slam_test_3d.pyfg",
+                            r_max=20, eta=1e-4),
+    "ra_slam_test_2d": dict(kind="ra", file="range_aided_slam_test_2d.pyfg",
+                            r_max=20, eta=1e-4),
+    "single_drone": dict(kind="ra", file="single_drone.pyfg", r_max=20,
+                         eta=1e-4),
+    "tiers": dict(kind="ra", file="tiers.pyfg", r_max=20, eta=1e-4),
+    "multi_robot_smallGrid3D": dict(kind="dc2pgo", file="smallGrid3D.g2o",
+                                    robots=5, r_min=5, r_max=10, eta=1e-3),
+}
+
+
+def run_pgo(path, cfg):
+    import numpy as np
+
+    from dcora_tpu.core import lifted, problem as prob
+    from dcora_tpu.core.graph import LocalGraph
+    from dcora_tpu.core.init import chordal_initialization
+    from dcora_tpu.io import read_g2o_file
+    from dcora_tpu.staircase import riemannian_staircase
+    from dcora_tpu.types import ROptParameters
+
+    ds = read_g2o_file(path)
+    d = ds.dim
+    g = LocalGraph(0, cfg["r_min"], d)
+    g.set_measurements(ds.pose_pose_measurements)
+    T0 = chordal_initialization(ds.pose_pose_measurements)
+    X0 = lifted.pad_rank(lifted.from_pose_array(T0), cfg["r_min"])
+    t0 = time.time()
+    res = riemannian_staircase(
+        g, X0, r_min=cfg["r_min"], r_max=cfg["r_max"],
+        opt_params=ROptParameters(
+            gradnorm_tol=1e-4, RTR_iterations=200, RTR_tCG_iterations=200
+        ),
+        min_eig_num_tol=cfg["eta"], verbose=True,
+    )
+    elapsed = time.time() - t0
+    P = g.problem_data()
+    f_rounded = float(prob.cost(P, res.rounded))
+    T_est = np.asarray(
+        np.concatenate(
+            [np.asarray(res.rounded.rot),
+             np.asarray(res.rounded.trn[: g.n])[:, :, None]], axis=2
+        )
+    )
+    T_gt = (np.stack([np.asarray(ds.ground_truth_poses[k])
+                      for k in sorted(ds.ground_truth_poses)])
+            if ds.ground_truth_poses else None)
+    return dict(
+        measurements=ds.pose_pose_measurements, X=res.X, d=d,
+        result=dict(
+            certified=bool(res.certified), final_rank=int(res.final_rank),
+            f_final=float(res.f_final), f_rounded=f_rounded,
+            elapsed_s=elapsed,
+        ),
+        T_est=T_est, T_gt=T_gt,
+    )
+
+
+def run_ra(path, cfg):
+    import numpy as np
+
+    from dcora_tpu.core import problem as prob
+    from dcora_tpu.drivers.single_robot_raslam import run as run_cora
+    from dcora_tpu.io.remap import get_global_measurements
+    from dcora_tpu.io import read_pyfg_file
+
+    t0 = time.time()
+    res, g, gm = run_cora(path, r_max=cfg["r_max"],
+                          min_eig_tol=cfg["eta"], verbose=True)
+    elapsed = time.time() - t0
+    ds = read_pyfg_file(path)
+    gm2 = get_global_measurements(ds)
+    gt = gm2.ground_truth_init
+    d = ds.dim
+    P = g.problem_data()
+    f_rounded = float(prob.cost(P, res.rounded))
+    T_est = np.concatenate(
+        [np.asarray(res.rounded.rot),
+         np.asarray(res.rounded.trn[: g.n])[:, :, None]], axis=2
+    )
+    T_gt = np.concatenate(
+        [np.asarray(gt.rot), np.asarray(gt.trn[: g.n])[:, :, None]], axis=2
+    )
+    return dict(
+        measurements=gm.relative_measurements, X=res.X, d=d,
+        result=dict(
+            certified=bool(res.certified), final_rank=int(res.final_rank),
+            f_final=float(res.f_final), f_rounded=f_rounded,
+            elapsed_s=elapsed,
+        ),
+        T_est=T_est, T_gt=T_gt,
+    )
+
+
+def run_dc2pgo(path, cfg):
+    import numpy as np
+
+    from dcora_tpu.drivers.multi_robot_pgo import run as run_mr
+    from dcora_tpu.io import read_g2o_file
+
+    ds = read_g2o_file(path)
+    t0 = time.time()
+    res = run_mr(cfg["robots"], path, r_min=cfg["r_min"],
+                 r_max=cfg["r_max"], min_eig_num_tol=cfg["eta"])
+    elapsed = time.time() - t0
+    T_gt = (np.stack([np.asarray(ds.ground_truth_poses[k])
+                      for k in sorted(ds.ground_truth_poses)])
+            if ds.ground_truth_poses else None)
+    return dict(
+        measurements=ds.pose_pose_measurements, X=res.X, d=ds.dim,
+        result=dict(
+            certified=bool(res.certified), final_rank=int(res.final_rank),
+            f_final=(res.cost_trace[-1] if res.cost_trace else None),
+            total_iters=int(res.total_iters), elapsed_s=elapsed,
+            gradnorm_final=(res.gradnorm_trace[-1]
+                            if res.gradnorm_trace else None),
+        ),
+        T_est=None, T_gt=T_gt,
+        cost_trace=res.cost_trace, gradnorm_trace=res.gradnorm_trace,
+    )
+
+
+def run_config(name, data_dir):
+    cfg = CONFIGS[name]
+    path = os.path.join(data_dir, cfg["file"])
+    if not os.path.exists(path):
+        raise FileNotFoundError(path)
+    if cfg["kind"] == "pgo":
+        out = run_pgo(path, cfg)
+    elif cfg["kind"] == "ra":
+        out = run_ra(path, cfg)
+    else:
+        out = run_dc2pgo(path, cfg)
+
+    from dcora_tpu import verification as V
+
+    rep = V.verify_solution(out["measurements"], out["X"], out["d"],
+                            eta=cfg["eta"])
+    rec = dict(cfg=dict(cfg), **out["result"], **rep)
+    if out.get("T_est") is not None and out.get("T_gt") is not None \
+            and len(out["T_est"]) == len(out["T_gt"]):
+        rec["ate_vs_gt"] = V.ate_vs_ground_truth(out["T_est"], out["T_gt"])
+    if "cost_trace" in out:
+        rec["cost_trace"] = [float(c) for c in out["cost_trace"]]
+        rec["gradnorm_trace"] = [float(g) for g in out["gradnorm_trace"]]
+    rec["timestamp"] = time.strftime("%Y-%m-%d %H:%M:%S")
+    import jax
+
+    rec["platform"] = jax.default_backend()
+    return rec
+
+
+def summarize():
+    rows = []
+    for f in sorted(os.listdir(ART)):
+        if f.endswith(".json"):
+            with open(os.path.join(ART, f)) as fh:
+                rec = json.load(fh)
+            rows.append((f[:-5], rec))
+    lines = [
+        "| config | platform | certified (engine) | certified (scipy) | "
+        "rank | f* | f* (scipy Q) | indep gradnorm | indep min-eig | "
+        "ATE vs GT | wall s |",
+        "|---|---|---|---|---|---|---|---|---|---|---|",
+    ]
+    for name, r in rows:
+        ate = r.get("ate_vs_gt")
+        f_final = r.get("f_final")
+        lines.append(
+            f"| {name} | {r.get('platform','?')} | "
+            f"{r.get('certified')} | {r.get('certified_indep')} | "
+            f"{r.get('final_rank')} | "
+            f"{f_final if f_final is None else f'{f_final:.6f}'} | "
+            f"{r['f_indep']:.6f} | {r['gradnorm_indep']:.2e} | "
+            f"{r['min_eig_indep']:.2e} | "
+            f"{'—' if ate is None else f'{ate:.4f}'} | "
+            f"{r.get('elapsed_s', 0):.1f} |"
+        )
+    return "\n".join(lines)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--configs", nargs="*", default=[])
+    ap.add_argument("--platform", default="cpu", choices=["cpu", "tpu"])
+    ap.add_argument("--data-dir", default=os.environ.get(
+        "DCORA_DATA_DIR", "/root/reference/data"))
+    ap.add_argument("--summary", action="store_true")
+    args = ap.parse_args()
+
+    if args.summary:
+        print(summarize())
+        return
+
+    import jax
+
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    import dcora_tpu  # noqa: F401  (x64 + cache setup)
+
+    os.makedirs(ART, exist_ok=True)
+    for name in args.configs:
+        print(f"=== {name} ===", flush=True)
+        rec = run_config(name, args.data_dir)
+        with open(os.path.join(ART, f"{name}.json"), "w") as fh:
+            json.dump(rec, fh, indent=1)
+        print(json.dumps({k: v for k, v in rec.items()
+                          if k not in ("cost_trace", "gradnorm_trace")},
+                         indent=1), flush=True)
+
+
+if __name__ == "__main__":
+    main()
