@@ -196,6 +196,10 @@ class Agent:
         assert X.r == self.r
         self.state = AgentState.INITIALIZED
         self.X = X
+        if self.XInit is None:
+            # driver-provided iterate doubles as the robust-reset guess
+            # when the agent skipped initialize_in_global_frame
+            self.XInit = X
         if self.params.acceleration:
             self.initialize_acceleration()
 

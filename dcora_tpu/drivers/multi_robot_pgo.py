@@ -35,6 +35,8 @@ from dcora_tpu.types import (
     AgentParameters,
     InitializationMethod,
     PoseID,
+    RobustCostParameters,
+    RobustCostType,
 )
 
 logger = logging.getLogger(__name__)
@@ -91,6 +93,23 @@ def partition_measurements(measurements, n: int, num_robots: int):
     return odometry, private, shared, robot_of
 
 
+def _sync_central_weights(agents, measurements, n: int, num_robots: int):
+    """Pull the agents' GNC weights back onto the central (global-index)
+    measurement list so the central cost/gradnorm/certification reflect the
+    reweighted problem."""
+    npr = n // num_robots
+
+    def g(rid, idx):
+        return rid * npr + idx
+
+    lookup = {(m.p1, m.p2): m for m in measurements}
+    for a in agents:
+        for m in a.graph.active_loop_closures():
+            cm = lookup.get((g(m.r1, m.p1), g(m.r2, m.p2)))
+            if cm is not None and not cm.fixedWeight:
+                cm.weight = m.weight
+
+
 def robot_slice(n: int, num_robots: int, robot: int):
     npr = n // num_robots
     start = robot * npr
@@ -108,6 +127,8 @@ class MultiRobotResult:
     gradnorm_trace: List[float]
     trajectories: Dict[int, np.ndarray]
     elapsed_s: float
+    # final GNC weights of non-fixed edges, keyed by global (p1, p2)
+    weights: Optional[Dict[tuple, float]] = None
 
 
 def run(num_robots: int, g2o_path: str, acceleration: bool = True,
@@ -116,7 +137,16 @@ def run(num_robots: int, g2o_path: str, acceleration: bool = True,
         init_method: InitializationMethod = InitializationMethod.Random,
         rbcd_only: bool = False, verbose: bool = False,
         log_directory: str = "",
-        checkpoint_path: str = "") -> MultiRobotResult:
+        checkpoint_path: str = "",
+        robust_cost_params: Optional[RobustCostParameters] = None,
+        robust_weight_updates: int = 3) -> MultiRobotResult:
+    """When ``robust_cost_params`` selects a non-L2 cost, the distributed
+    GNC pipeline runs: agents track team statuses, trigger
+    ``update_measurement_weights`` via ``should_update_measurement_weights``
+    (reference: Agent.cpp:1280-1454 — in-repo the reference never drives
+    this either; its caller is the ROS layer), and the central stopping
+    test only fires after every agent has exhausted its weight-update
+    budget."""
     t_start = time.time()
     ds = read_g2o_file(g2o_path)
     measurements = ds.pose_pose_measurements
@@ -173,6 +203,9 @@ def run(num_robots: int, g2o_path: str, acceleration: bool = True,
         P = central.problem_data()
         G0 = lifted.zeros(central.dims, r)
 
+        robust = (robust_cost_params is not None
+                  and robust_cost_params.costType != RobustCostType.L2)
+
         # fresh agents at this rank (reference: MultiRobotExample.cpp:184-217)
         agents: List[Agent] = []
         for robot in range(num_robots):
@@ -181,6 +214,9 @@ def run(num_robots: int, g2o_path: str, acceleration: bool = True,
                 verbose=verbose, logData=bool(log_directory),
                 logDirectory=log_directory,
             )
+            if robust:
+                options.robustCostParams = robust_cost_params
+                options.robustOptNumWeightUpdates = robust_weight_updates
             agent = Agent(robot, options)
             if robot > 0:
                 agent.set_lifting_matrix(agents[0].get_lifting_matrix())
@@ -222,6 +258,30 @@ def run(num_robots: int, g2o_path: str, acceleration: bool = True,
                     sel.update_neighbor_states(a.id, aux[0], aux=True)
             sel.iterate(True)
 
+            if robust:
+                # status gossip: every agent sees the team's convergence
+                # state (in the reference this is the ROS status topic)
+                for a in agents:
+                    for b_ in agents:
+                        if b_.id != a.id:
+                            a.set_neighbor_status(b_.get_status())
+                any_update = False
+                for a in agents:
+                    if a.should_update_measurement_weights():
+                        for b_ in agents:
+                            if b_.id == a.id:
+                                continue
+                            dicts = b_.get_shared_state_dicts()
+                            if dicts is not None:
+                                a.update_neighbor_states(b_.id, dicts[0])
+                        a.update_measurement_weights()
+                        any_update = True
+                if any_update:
+                    _sync_central_weights(agents, measurements, n,
+                                          num_robots)
+                    central.set_measurements(measurements)
+                    P = central.problem_data()
+
             # assemble central estimate
             rots, trns = [], []
             for robot in range(num_robots):
@@ -248,7 +308,11 @@ def run(num_robots: int, g2o_path: str, acceleration: bool = True,
                     f"Iter = {total_iter} | robot = {selected} | "
                     f"cost = {cost:.6f} | gradnorm = {gradnorm:.4f}"
                 )
-            if gradnorm < rgrad_norm_tol:
+            robust_done = (not robust) or all(
+                a.weight_update_count >= a.params.robustOptNumWeightUpdates
+                for a in agents
+            )
+            if gradnorm < rgrad_norm_tol and robust_done:
                 break
 
             # greedy selection by block gradient norm (reference: :289-305)
@@ -303,10 +367,15 @@ def run(num_robots: int, g2o_path: str, acceleration: bool = True,
             from dcora_tpu.utils.checkpoint import save_checkpoint
             save_checkpoint(checkpoint_path, Xcurr, r)
 
+    weights = {
+        (m.p1, m.p2): float(m.weight)
+        for m in measurements if not m.fixedWeight
+    }
     return MultiRobotResult(
         X=Xcurr, certified=certified, final_rank=r, total_iters=total_iter,
         cost_trace=cost_trace, gradnorm_trace=grad_trace,
         trajectories=trajectories, elapsed_s=time.time() - t_start,
+        weights=weights,
     )
 
 
@@ -319,12 +388,22 @@ def main():
     ap.add_argument("--rmin", type=int, default=5)
     ap.add_argument("--rmax", type=int, default=100)
     ap.add_argument("--verbose", action="store_true")
+    ap.add_argument("--robust", action="store_true",
+                    help="distributed GNC-TLS robust optimization")
+    ap.add_argument("--gnc-barc", type=float, default=5.0)
+    ap.add_argument("--weight-updates", type=int, default=3)
     args = ap.parse_args()
     logging.basicConfig(level=logging.INFO)
+    rcp = None
+    if args.robust:
+        rcp = RobustCostParameters(
+            costType=RobustCostType.GNC_TLS, GNCBarc=args.gnc_barc
+        )
     res = run(
         args.num_robots, args.g2o, acceleration=not args.no_accel,
         num_iters=args.iters, r_min=args.rmin, r_max=args.rmax,
-        verbose=args.verbose,
+        verbose=args.verbose, robust_cost_params=rcp,
+        robust_weight_updates=args.weight_updates,
     )
     print(
         f"DC2-PGO: certified={res.certified} rank={res.final_rank} "
