@@ -13,18 +13,43 @@ On a single-chip or CPU setup, run with virtual devices:
   python -m dcora_tpu.drivers.parallel_pgo 8 file.g2o --cpu
 
 On a real multi-chip slice the mesh spans the chips and the all_gather
-rides ICI; multi-host works unchanged via jax.distributed.initialize.
+rides ICI. For multi-host (DCN) runs, every process launches the same
+command with --coordinator/--num-processes/--process-id (or the
+JAX_COORDINATOR / JAX_NUM_PROCESSES / JAX_PROCESS_ID env vars):
+jax.distributed.initialize wires the global mesh, the batched problem is
+sharded over all processes' devices via jax.make_array_from_callback (no
+cross-host data transfer — every host parses the same file), and
+convergence uses a psum-reduced block-gradient-norm (the central
+evaluation problem is only assembled on fully-addressable setups).
+
+Two-process CPU smoke test: tests/test_multihost.py.
 """
 
 from __future__ import annotations
 
 import argparse
+import os
 import time
 from typing import List
 
 import numpy as np
 
 import dcora_tpu  # noqa: F401
+
+
+def init_multihost(coordinator: str, num_processes: int, process_id: int):
+    """Initialize the JAX distributed runtime (multi-host over DCN).
+
+    Must run before any jax computation. The same call serves TPU pods
+    and the CPU test harness (gRPC coordination service at
+    ``coordinator``)."""
+    import jax
+
+    jax.distributed.initialize(
+        coordinator_address=coordinator,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
 
 
 def run(num_agents: int, g2o_path: str, r: int = 5, max_rounds: int = 1000,
@@ -46,8 +71,10 @@ def run(num_agents: int, g2o_path: str, r: int = 5, max_rounds: int = 1000,
     from dcora_tpu.io import read_g2o_file
     from dcora_tpu.parallel.rbcd import (
         build_parallel_problem,
+        globalize,
         make_parallel_round,
         pack_states,
+        pack_states_global,
         unpack_states,
     )
 
@@ -56,7 +83,8 @@ def run(num_agents: int, g2o_path: str, r: int = 5, max_rounds: int = 1000,
     ms = ds.pose_pose_measurements
     d, n = ds.dim, ds.num_poses
 
-    devices = jax.devices()
+    multihost = jax.process_count() > 1
+    devices = jax.devices()  # global device list across all processes
     assert len(devices) >= num_agents, (
         f"need {num_agents} devices, have {len(devices)} "
         "(use XLA_FLAGS=--xla_force_host_platform_device_count=N)"
@@ -79,14 +107,24 @@ def run(num_agents: int, g2o_path: str, r: int = 5, max_rounds: int = 1000,
                               trn=X.trn[s:e]))
 
     pp = build_parallel_problem(graphs)
+    pp = globalize(pp, mesh)
     cfg = RTRConfig(gradnorm_tol=1e-2, max_inner=50,
                     single_accepted_step=True)
     round_fn = make_parallel_round(pp, cfg, mesh)
 
-    central = LocalGraph(0, r, d)
-    central.set_measurements(ms)
-    P = central.problem_data()
-    G0 = lifted.zeros(central.dims, r)
+    # psum-reduced convergence metric, replicated so every process reads it
+    from jax.sharding import NamedSharding, PartitionSpec as PSpec
+
+    gnorm_sum = jax.jit(
+        lambda g: jnp.sqrt(jnp.sum(g ** 2)),
+        out_shardings=NamedSharding(mesh, PSpec()),
+    )
+
+    if not multihost:
+        central = LocalGraph(0, r, d)
+        central.set_measurements(ms)
+        P = central.problem_data()
+        G0 = lifted.zeros(central.dims, r)
 
     def global_state(Xb):
         parts = unpack_states(pp, Xb)
@@ -96,24 +134,42 @@ def run(num_agents: int, g2o_path: str, r: int = 5, max_rounds: int = 1000,
             trn=jnp.concatenate([s.trn for s in parts]),
         )
 
-    Xb = pack_states(pp, states)
+    Xb = (pack_states_global(pp, states, mesh) if multihost
+          else pack_states(pp, states))
     gradnorm = float("inf")
     rounds = 0
     for it in range(max_rounds):
         Xb, gnorms = round_fn(Xb)
         rounds += 1
         if it % check_every == 0 or it == max_rounds - 1:
-            Xg = global_state(Xb)
-            cost = 2.0 * float(prob.cost(P, Xg))
-            gradnorm = float(riemannian_gradient(P, Xg, G0).norm())
+            if multihost:
+                # block-gradnorm reduction only: the central evaluation
+                # problem needs fully-addressable state
+                gradnorm = float(gnorm_sum(gnorms))
+                cost = float("nan")
+            else:
+                Xg = global_state(Xb)
+                cost = 2.0 * float(prob.cost(P, Xg))
+                gradnorm = float(riemannian_gradient(P, Xg, G0).norm())
             if verbose:
                 print(f"round = {it} | cost = {cost:.6f} | "
                       f"gradnorm = {gradnorm:.4f}")
             if gradnorm < rgrad_norm_tol:
                 break
 
-    Xg = global_state(Xb)
-    cost = 2.0 * float(prob.cost(P, Xg))
+    if multihost:
+        from jax.experimental import multihost_utils
+
+        # gather the full block state onto every host for the trajectory
+        Xb = jax.tree.map(
+            lambda x: multihost_utils.process_allgather(x, tiled=True)
+            if not x.is_fully_addressable else x, Xb,
+        )
+        cost = float("nan")
+        Xg = None
+    else:
+        Xg = global_state(Xb)
+        cost = 2.0 * float(prob.cost(P, Xg))
     elapsed = time.time() - t0
     print(f"parallel-RBCD: agents={num_agents} rounds={rounds} "
           f"cost={cost:.6f} gradnorm={gradnorm:.4f} elapsed={elapsed:.1f}s "
@@ -131,11 +187,21 @@ def main():
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (virtual devices)")
     ap.add_argument("--verbose", action="store_true")
+    ap.add_argument("--coordinator",
+                    default=os.environ.get("JAX_COORDINATOR", ""),
+                    help="multi-host coordinator address host:port")
+    ap.add_argument("--num-processes", type=int,
+                    default=int(os.environ.get("JAX_NUM_PROCESSES", "0")))
+    ap.add_argument("--process-id", type=int,
+                    default=int(os.environ.get("JAX_PROCESS_ID", "-1")))
     args = ap.parse_args()
     if args.cpu:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    if args.coordinator and args.num_processes > 1:
+        init_multihost(args.coordinator, args.num_processes,
+                       args.process_id)
     run(args.num_agents, args.g2o, r=args.rank, max_rounds=args.rounds,
         rgrad_norm_tol=args.tol, verbose=args.verbose)
 

@@ -46,6 +46,14 @@ class BatchedProblem(NamedTuple):
     """
 
     P: ProblemData  # every leaf has leading axis A
+    # local-block operator: fixed slots remapped onto the pad slot, so the
+    # SoA acts as Q_bb on local-shaped states (precomputed; static per
+    # weight epoch)
+    P_loc: ProblemData
+    # factored block-Jacobi preconditioner of Q_bb (precomputed once per
+    # weight epoch; the reference factors once per epoch too,
+    # Graph.cpp:1901-1917 -- round 1 rebuilt it every round inside jit)
+    M: object  # problem.Preconditioner, leading axis A
     # gather maps for separator exchange: for each fixed slot, the owning
     # agent index and its slot in that agent's public buffer
     fix_pose_src: jax.Array  # i32[A, fp_max, 2] (agent, pub slot)
@@ -266,8 +274,38 @@ def build_parallel_problem(
 
         regs.append(1e-1 if g.is_pgo_compatible() else 1e-1)
 
+    P_batched = jax.tree.map(lambda *xs: jnp.stack(xs), *P_list)
+
+    # precompute the local-block operator and its factored block-Jacobi
+    # preconditioner (hoisted out of the round function)
+    n_loc, l_loc, t_loc = n_max, l_max, t_max
+
+    def _remap_local(Pb):
+        return Pb._replace(
+            pp_ri=jnp.minimum(Pb.pp_ri, n_loc),
+            pp_rj=jnp.minimum(Pb.pp_rj, n_loc),
+            pp_ti=jnp.minimum(Pb.pp_ti, t_loc),
+            pp_tj=jnp.minimum(Pb.pp_tj, t_loc),
+            pl_ri=jnp.minimum(Pb.pl_ri, n_loc),
+            pl_ti=jnp.minimum(Pb.pl_ti, t_loc),
+            pl_tj=jnp.minimum(Pb.pl_tj, t_loc),
+            rg_ti=jnp.minimum(Pb.rg_ti, t_loc),
+            rg_tj=jnp.minimum(Pb.rg_tj, t_loc),
+            rg_q=jnp.minimum(Pb.rg_q, l_max),
+        )
+
+    P_loc_batched = _remap_local(P_batched)
+    regs_arr = jnp.asarray(np.array(regs))
+    M_batched = jax.vmap(
+        lambda Pb, rg: prob.build_preconditioner(
+            Pb, n_loc, l_max, t_loc - n_loc, d, rg
+        )
+    )(P_loc_batched, regs_arr)
+
     batched = BatchedProblem(
-        P=jax.tree.map(lambda *xs: jnp.stack(xs), *P_list),
+        P=P_batched,
+        P_loc=P_loc_batched,
+        M=M_batched,
         fix_pose_src=jnp.asarray(np.stack(fps_list)),
         fix_trans_src=jnp.asarray(np.stack(fts_list)),
         fix_sph_src=jnp.asarray(np.stack(fss_list)),
@@ -322,9 +360,57 @@ def unpack_states(pp: ParallelRBCDProblem, X: RAState) -> List[RAState]:
     return out
 
 
-def _one_agent_update(P_a: ProblemData, X_a: RAState, fixed_a: RAState,
-                      reg, cfg: RTRConfig, d: int):
-    """One single-accepted-step RTR update for one (padded) agent."""
+def globalize(pp: ParallelRBCDProblem, mesh: Mesh, axis: str = "agents"):
+    """Convert the batched problem's host-local arrays into global jax
+    Arrays sharded over the mesh axis — required when the mesh spans
+    multiple processes (multi-host DCN), where each process holds the full
+    host copy but devices are only partially addressable.
+
+    Every process builds the identical BatchedProblem from the same
+    dataset, so the per-device shard is just a slice of the local copy
+    (jax.make_array_from_callback reads it without any cross-host
+    transfer). No-op on a single process.
+    """
+    if jax.process_count() == 1:
+        return pp
+
+    spec = P(axis)
+
+    def to_global(x):
+        arr = np.asarray(x)
+        sh = NamedSharding(mesh, spec)
+        return jax.make_array_from_callback(
+            arr.shape, sh, lambda idx: arr[idx]
+        )
+
+    batched = jax.tree.map(to_global, pp.batched)
+    return dataclasses.replace(pp, batched=batched)
+
+
+def pack_states_global(pp: ParallelRBCDProblem, states: List[RAState],
+                       mesh: Mesh, axis: str = "agents") -> RAState:
+    """pack_states + globalize for multi-process meshes."""
+    Xb = pack_states(pp, states)
+    if jax.process_count() == 1:
+        return Xb
+    spec = P(axis)
+
+    def to_global(x):
+        arr = np.asarray(x)
+        sh = NamedSharding(mesh, spec)
+        return jax.make_array_from_callback(
+            arr.shape, sh, lambda idx: arr[idx]
+        )
+
+    return jax.tree.map(to_global, Xb)
+
+
+def _one_agent_update(P_a: ProblemData, P_loc: ProblemData, M, X_a: RAState,
+                      fixed_a: RAState, cfg: RTRConfig, d: int):
+    """One single-accepted-step RTR update for one (padded) agent.
+
+    P_loc (fixed slots remapped onto the pad slot) and the factored
+    preconditioner M are precomputed in build_parallel_problem."""
     n_loc = X_a.rot.shape[0]
     l_loc = X_a.sph.shape[0]
     t_loc = X_a.trn.shape[0]
@@ -334,21 +420,6 @@ def _one_agent_update(P_a: ProblemData, X_a: RAState, fixed_a: RAState,
     X_aug = prob.augment(zeros_local, fixed_a)
     G = prob.restrict(prob.apply_Q(P_a, X_aug), n_loc, l_loc, t_loc)
 
-    # local operator: remap fixed slots onto the pad slot (== local size)
-    P_loc = P_a._replace(
-        pp_ri=jnp.minimum(P_a.pp_ri, n_loc),
-        pp_rj=jnp.minimum(P_a.pp_rj, n_loc),
-        pp_ti=jnp.minimum(P_a.pp_ti, t_loc),
-        pp_tj=jnp.minimum(P_a.pp_tj, t_loc),
-        pl_ri=jnp.minimum(P_a.pl_ri, n_loc),
-        pl_ti=jnp.minimum(P_a.pl_ti, t_loc),
-        pl_tj=jnp.minimum(P_a.pl_tj, t_loc),
-        rg_ti=jnp.minimum(P_a.rg_ti, t_loc),
-        rg_tj=jnp.minimum(P_a.rg_tj, t_loc),
-        rg_q=jnp.minimum(P_a.rg_q, l_loc),
-    )
-    M = prob.build_preconditioner(P_loc, n_loc, l_loc,
-                                  t_loc - n_loc, d, reg)
     res = _rtr_impl(P_loc, G, M, X_a, cfg)
     return res.X, res.gradnorm_final
 
@@ -393,8 +464,9 @@ def make_parallel_round(pp: ParallelRBCDProblem, cfg: RTRConfig,
 
     B_loc = {}
 
-    def round_fn_shard(P_shard, fix_pose_src, fix_trans_src, fix_sph_src,
-                       pub_pose_idx, pub_lmk_idx, pub_sph_idx, regs,
+    def round_fn_shard(P_shard, P_loc_shard, M_shard,
+                       fix_pose_src, fix_trans_src, fix_sph_src,
+                       pub_pose_idx, pub_lmk_idx, pub_sph_idx,
                        X_rot, X_sph, X_trn):
         X = RAState(rot=X_rot, sph=X_sph, trn=X_trn)
         B_loc["pub_pose_idx"] = pub_pose_idx
@@ -424,11 +496,12 @@ def make_parallel_round(pp: ParallelRBCDProblem, cfg: RTRConfig,
             fix_pose_src, fix_trans_src, fix_sph_src
         )
 
-        def upd(P_a, X_a, fixed_a, reg):
-            return _one_agent_update(P_a, X_a, fixed_a, reg, cfg, d)
+        def upd(P_a, P_loc_a, M_a, X_a, fixed_a):
+            return _one_agent_update(P_a, P_loc_a, M_a, X_a, fixed_a,
+                                     cfg, d)
 
         X_new, gnorms = jax.vmap(upd)(
-            P_shard, X, fixed, regs
+            P_shard, P_loc_shard, M_shard, X, fixed
         )
         return X_new.rot, X_new.sph, X_new.trn, gnorms
 
@@ -441,20 +514,28 @@ def make_parallel_round(pp: ParallelRBCDProblem, cfg: RTRConfig,
         round_fn_shard,
         mesh=mesh,
         in_specs=(
-            specs_like(B.P), spec_A, spec_A, spec_A,
-            spec_A, spec_A, spec_A, spec_A,
+            specs_like(B.P), specs_like(B.P_loc), specs_like(B.M),
+            spec_A, spec_A, spec_A,
+            spec_A, spec_A, spec_A,
             spec_A, spec_A, spec_A,
         ),
         out_specs=(spec_A, spec_A, spec_A, spec_A),
     )
 
+    # B is passed as an argument (not a closure constant): under
+    # multi-host the batched problem is a non-addressable global array,
+    # which jit cannot embed as a constant.
     @jax.jit
-    def round_fn(X: RAState):
+    def _round(Bp: BatchedProblem, X: RAState):
         rot, sph, trn, gnorms = round_sharded(
-            B.P, B.fix_pose_src, B.fix_trans_src, B.fix_sph_src,
-            B.pub_pose_idx, B.pub_lmk_idx, B.pub_sph_idx, pp.regs,
+            Bp.P, Bp.P_loc, Bp.M,
+            Bp.fix_pose_src, Bp.fix_trans_src, Bp.fix_sph_src,
+            Bp.pub_pose_idx, Bp.pub_lmk_idx, Bp.pub_sph_idx,
             X.rot, X.sph, X.trn,
         )
         return RAState(rot=rot, sph=sph, trn=trn), gnorms
+
+    def round_fn(X: RAState):
+        return _round(B, X)
 
     return round_fn
