@@ -31,6 +31,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 CHUNK = 8  # tiles per DMA: 512 KB transfers amortize DMA + loop overhead
 
+GROUP = 8  # tiles per row-group in the grouped kernel (wide-N matmul width)
+
 
 def _spmm_kernel(rows_ref, cols_ref, x_ref, tiles_hbm, out_ref, *,
                  T: int, m: int):
@@ -124,6 +126,145 @@ def spmm_symmetric(rows: jax.Array, cols: jax.Array, tiles: jax.Array,
             transcendentals=0,
         ),
     )(rows, cols, Xf, tiles)
+
+
+def build_row_groups(rows, cols, tiles, T: int = 128, G: int = GROUP):
+    """Host-side: pack the upper-triangular tile list into row-groups.
+
+    Tiles sharing a tile-row are concatenated side-by-side into wide
+    [T, G*T] buffers (padded per row with zero tiles whose col == row, so
+    both kernel passes add exactly zero for padding slots).  One wide
+    buffer turns G tiny [r,T]@[T,T] matmuls into a single [r,T]@[T,G*T]
+    wide-N matmul -- amortizing the MXU issue/fill cost that makes the
+    per-tile kernel issue-bound at small relaxation ranks (NOTES.md lead
+    1a), and giving XLA/Mosaic an N large enough to split across MXUs.
+
+    Returns (grows i32[ngroups], gcols i32[ngroups, G],
+    wide f32[ngroups, T, G*T]) as numpy arrays.
+    """
+    import numpy as np
+
+    rows = np.asarray(rows)
+    cols = np.asarray(cols)
+    tiles = np.asarray(tiles)
+    order = np.argsort(rows, kind="stable")
+    rows, cols, tiles = rows[order], cols[order], tiles[order]
+
+    grows, gcols, gtiles = [], [], []
+    i = 0
+    m = len(rows)
+    while i < m:
+        r = rows[i]
+        j = i
+        while j < m and rows[j] == r:
+            j += 1
+        for s in range(i, j, G):
+            chunk = slice(s, min(s + G, j))
+            cs = cols[chunk]
+            ts = tiles[chunk]
+            pad = G - len(cs)
+            if pad:
+                cs = np.concatenate([cs, np.full(pad, r, cs.dtype)])
+                ts = np.concatenate(
+                    [ts, np.zeros((pad, T, T), ts.dtype)])
+            grows.append(r)
+            gcols.append(cs)
+            gtiles.append(np.concatenate(list(ts), axis=1))  # [T, G*T]
+        i = j
+    if not grows:
+        grows = [0]
+        gcols = [np.zeros(G, np.int32)]
+        gtiles = [np.zeros((T, G * T), np.float32)]
+    return (np.asarray(grows, np.int32),
+            np.asarray(gcols, np.int32).reshape(len(grows), G),
+            np.stack(gtiles).astype(np.float32))
+
+
+def _grouped_kernel(grows_ref, gcols_ref, x_ref, wide_hbm, out_ref, *,
+                    T: int, G: int, ngroups: int, interpret: bool = False):
+    W = G * T
+
+    def body(scratch, xcat, sem):
+        one = jnp.int32(1)
+        two = jnp.int32(2)
+
+        def get_dma(slot, gi):
+            return pltpu.make_async_copy(
+                wide_hbm.at[gi], scratch.at[slot], sem.at[slot])
+
+        out_ref[:, :] = jnp.zeros_like(out_ref)
+        get_dma(jnp.int32(0), jnp.int32(0)).start()
+
+        def loop(gi, carry):
+            slot = jax.lax.rem(gi, two)
+
+            @pl.when(gi + one < ngroups)
+            def _prefetch():
+                get_dma(jax.lax.rem(gi + one, two), gi + one).start()
+
+            get_dma(slot, gi).wait()
+            r = grows_ref[gi]
+            ro = pl.multiple_of(r * T, T)
+            Xr = x_ref[:, pl.ds(ro, T)]
+            # forward: one wide-N matmul covers all G tiles of the group
+            Y = jnp.dot(Xr, scratch[slot],
+                        preferred_element_type=jnp.float32)  # [r_pad, G*T]
+            for j in range(G):
+                c = gcols_ref[gi, j]
+                co = pl.multiple_of(c * T, T)
+                out_ref[:, pl.ds(co, T)] += Y[:, j * T:(j + 1) * T]
+                # gather the symmetric operand; zero the slot when the
+                # tile sits on the diagonal (it must be applied once only)
+                Xc = x_ref[:, pl.ds(co, T)]
+                xcat[:, j * T:(j + 1) * T] = jnp.where(c == r,
+                                                       jnp.zeros_like(Xc),
+                                                       Xc)
+            # symmetric: [r_pad, G*T] x [T, G*T]^T -- a single NT matmul
+            Y2 = jax.lax.dot_general(
+                xcat[:, :], scratch[slot], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)          # [r_pad, T]
+            out_ref[:, pl.ds(ro, T)] += Y2
+            return carry
+
+        jax.lax.fori_loop(jnp.int32(0), jnp.int32(ngroups), loop,
+                          jnp.int32(0))
+
+    pl.run_scoped(
+        body,
+        scratch=pltpu.VMEM((2, T, W), jnp.float32),
+        xcat=pltpu.VMEM((out_ref.shape[0], W), jnp.float32),
+        sem=pltpu.SemaphoreType.DMA((2,)),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("T", "G", "interpret"))
+def spmm_grouped(grows: jax.Array, gcols: jax.Array, wide: jax.Array,
+                 Xf: jax.Array, T: int = 128, G: int = GROUP,
+                 interpret: bool = False) -> jax.Array:
+    """W = Xf Q from the row-grouped upper-triangular wide-tile layout.
+
+    grows: i32[ngroups]; gcols: i32[ngroups, G]; wide: f32[ngroups, T, G*T]
+    (from build_row_groups); Xf: f32[r_pad, kpad].
+    """
+    ngroups = wide.shape[0]
+    return pl.pallas_call(
+        functools.partial(_grouped_kernel, T=T, G=G, ngroups=ngroups,
+                          interpret=interpret),
+        out_shape=jax.ShapeDtypeStruct(Xf.shape, Xf.dtype),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # group rows
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # group cols
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # X (resident)
+            pl.BlockSpec(memory_space=pltpu.ANY),    # wide tiles (HBM)
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * ngroups * Xf.shape[0] * T * G * T,
+            bytes_accessed=wide.size * 4 + 2 * Xf.size * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(grows, gcols, Xf, wide)
 
 
 def pallas_available() -> bool:

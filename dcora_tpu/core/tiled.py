@@ -58,12 +58,13 @@ class TiledQ(NamedTuple):
     # lane-permutation maps between RA scalar ordering and flat ordering
     ra_of_fl: jax.Array    # i32[kpad]; k points at an appended zero column
     fl_of_ra: jax.Array    # i32[k]
-    # optional upper-triangular tile list for the Pallas symmetric-SpMM
-    # kernel (DCORA_PALLAS=1): ~0.6x the tile bytes, each tile applied both
-    # ways.  None unless built with with_pallas=True.
-    sym_tiles: Optional[jax.Array] = None   # f32[ms, T, T]
-    sym_rows: Optional[jax.Array] = None    # i32[ms], rows <= cols
-    sym_cols: Optional[jax.Array] = None    # i32[ms]
+    # optional row-grouped upper-triangular wide-tile layout for the Pallas
+    # symmetric SpMM kernel (DCORA_PALLAS=1): ~0.6x the tile bytes, each
+    # tile applied both ways, G tiles per wide-N matmul (pallas_spmm.py).
+    # None unless built with with_pallas=True.
+    grp_rows: Optional[jax.Array] = None    # i32[ngroups]
+    grp_cols: Optional[jax.Array] = None    # i32[ngroups, G]
+    grp_wide: Optional[jax.Array] = None    # f32[ngroups, T, G*T]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -389,29 +390,24 @@ def build_tiled(P: prob.ProblemData, dims: ProblemDims, T: int = 128,
     ra_of_fl[fl_of_ra] = np.arange(k)
 
     meta = TiledMeta(d=d, n=n, l=l, b=b, T=T, nt=nt)
-    sym_tiles = sym_rows = sym_cols = None
+    grp_rows = grp_cols = grp_wide = None
     if with_pallas:
-        from dcora_tpu.core.pallas_spmm import CHUNK
+        from dcora_tpu.core.pallas_spmm import build_row_groups
 
         up = trow <= tcol
-        st, sr, sc = dense[up], trow[up], tcol[up]
-        if len(sr) % CHUNK:
-            pad = CHUNK - len(sr) % CHUNK
-            st = np.concatenate([st, np.zeros((pad, T, T))])
-            sr = np.concatenate([sr, np.zeros(pad, sr.dtype)])
-            sc = np.concatenate([sc, np.zeros(pad, sc.dtype)])
-        sym_tiles = jnp.asarray(st.astype(np.float32))
-        sym_rows = jnp.asarray(sr)
-        sym_cols = jnp.asarray(sc)
+        gr, gc, gw = build_row_groups(trow[up], tcol[up], dense[up], T=T)
+        grp_rows = jnp.asarray(gr)
+        grp_cols = jnp.asarray(gc)
+        grp_wide = jnp.asarray(gw)
     Q = TiledQ(
         tiles=jnp.asarray(dense.astype(dtype)),
         tile_rows=jnp.asarray(trow),
         tile_cols=jnp.asarray(tcol),
         ra_of_fl=jnp.asarray(ra_of_fl.astype(np.int32)),
         fl_of_ra=jnp.asarray(fl_of_ra.astype(np.int32)),
-        sym_tiles=sym_tiles,
-        sym_rows=sym_rows,
-        sym_cols=sym_cols,
+        grp_rows=grp_rows,
+        grp_cols=grp_cols,
+        grp_wide=grp_wide,
     )
 
     # block-Jacobi preconditioner in flat (RCM) order.  The blocks are the
@@ -478,12 +474,13 @@ def apply_tiled(TP: TiledProblem, Xf: jax.Array) -> jax.Array:
     """
     meta = TP.meta
     r_pad = Xf.shape[0]
-    if (TP.Q.sym_tiles is not None and Xf.dtype == jnp.float32):
+    if (TP.Q.grp_wide is not None and Xf.dtype == jnp.float32):
         from dcora_tpu.core import pallas_spmm
 
         if pallas_spmm.pallas_available():
-            return pallas_spmm.spmm_symmetric(
-                TP.Q.sym_rows, TP.Q.sym_cols, TP.Q.sym_tiles, Xf, T=meta.T
+            return pallas_spmm.spmm_grouped(
+                TP.Q.grp_rows, TP.Q.grp_cols, TP.Q.grp_wide, Xf,
+                T=meta.T, G=TP.Q.grp_cols.shape[1],
             )
     Xt = Xf.reshape(r_pad, meta.nt, meta.T).transpose(1, 0, 2)  # [nt, r, T]
     Xg = Xt[TP.Q.tile_rows]                                     # [m, r, T]
