@@ -32,6 +32,7 @@ relies on via QuadraticProblem::EucHessianEta.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import NamedTuple, Optional
 
 import jax
@@ -213,8 +214,69 @@ class _FlatBackend:
         return tiled.retract_flat(P.meta, X, V)
 
 
+@dataclasses.dataclass(frozen=True)
+class _PlanarBackend:
+    """Planar pytree state over the tiled scalar ordering (tiled.Planar).
+
+    Same problem data as _FlatBackend (P is a tiled.TiledProblem), but the
+    tCG state keeps pose components as lane-major [r_pad, n] slices so all
+    manifold/preconditioner ops are straight-line VPU arithmetic; the
+    interleaved flat layout is materialized only around the SpMM.
+    """
+
+    def cost(self, P, G, X):
+        from dcora_tpu.core import tiled
+
+        Xf = tiled.from_planar(P.meta, X)
+        f = 0.5 * jnp.vdot(tiled.apply_tiled(P, Xf), Xf)
+        if G is not None:
+            f = f + tvdot(X, G)
+        return f
+
+    def egrad(self, P, G, X):
+        W = self.applyQ(P, X)
+        return W if G is None else tadd(W, G)
+
+    def hessvec(self, P, V):
+        return self.applyQ(P, V)
+
+    def applyQ(self, P, X):
+        from dcora_tpu.core import tiled
+
+        return tiled.to_planar(
+            P.meta, tiled.apply_tiled(P, tiled.from_planar(P.meta, X)))
+
+    def tangent(self, P, X, V):
+        from dcora_tpu.core import tiled
+
+        return tiled.tangent_project_planar(P.meta, X, V)
+
+    def hess_setup(self, P, X, egrad):
+        from dcora_tpu.core import tiled
+
+        return tiled.weingarten_setup_planar(P.meta, X, egrad)
+
+    def weingarten(self, P, X, eta, aux):
+        from dcora_tpu.core import tiled
+
+        return tiled.weingarten_apply_planar(P.meta, eta, aux)
+
+    def precond(self, P, M, X, V):
+        from dcora_tpu.core import tiled
+
+        return tiled.tangent_project_planar(
+            P.meta, X, tiled.precondition_planar(P, V)
+        )
+
+    def retract(self, P, X, V):
+        from dcora_tpu.core import tiled
+
+        return tiled.retract_planar(P.meta, X, V)
+
+
 RA_BACKEND = _RABackend()
 FLAT_BACKEND = _FlatBackend()
+PLANAR_BACKEND = _PlanarBackend()
 
 
 def riemannian_gradient(P: ProblemData, X: RAState, G: RAState) -> RAState:
@@ -442,13 +504,28 @@ def _rtr_impl(P, G, M, X0, cfg: RTRConfig, be=RA_BACKEND) -> RTRResult:
 rtr = jax.jit(_rtr_impl, static_argnames=("cfg", "be"))
 
 
-def rtr_flat(TP, Gf, Xf0, cfg: RTRConfig) -> RTRResult:
+def rtr_flat(TP, Gf, Xf0, cfg: RTRConfig, planar: bool = True) -> RTRResult:
     """RTR on the flat tiled representation (TPU fast path).
 
     TP: tiled.TiledProblem; Gf: flat linear term (or None); Xf0: flat state
-    [r_pad, kpad] at the tile dtype.
+    [r_pad, kpad] at the tile dtype.  With planar=True (default) the solve
+    runs on the planar backend -- same math, ~2x faster inner loop on TPU
+    (see tiled.Planar) -- and converts back to the flat layout on return.
     """
-    return rtr(TP, Gf, None, Xf0, cfg, be=FLAT_BACKEND)
+    if not planar:
+        return rtr(TP, Gf, None, Xf0, cfg, be=FLAT_BACKEND)
+    res = _rtr_planar(TP, Gf, Xf0, cfg)
+    return res
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _rtr_planar(TP, Gf, Xf0, cfg: RTRConfig) -> RTRResult:
+    from dcora_tpu.core import tiled
+
+    Xp0 = tiled.to_planar(TP.meta, Xf0)
+    Gp = None if Gf is None else tiled.to_planar(TP.meta, Gf)
+    res = _rtr_impl(TP, Gp, None, Xp0, cfg, be=PLANAR_BACKEND)
+    return res._replace(X=tiled.from_planar(TP.meta, res.X))
 
 
 def rtr_chunked(P, G, M, X0, cfg: RTRConfig, chunk: int = 20,

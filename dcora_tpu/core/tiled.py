@@ -673,6 +673,183 @@ def retract_flat(meta: TiledMeta, Xf: jax.Array, Vf: jax.Array) -> jax.Array:
     return _join(meta, pose, sph, Xt + Vt)
 
 
+# --------------------------------------------------------------------------
+# Planar tCG representation
+#
+# The flat [r_pad, kpad] layout interleaves pose components (lane i*dh+c),
+# so every per-pose manifold op pays two [r, n, dh] <-> [r, dh, n]
+# relayouts (_planar_cols/_join_cols).  Measured on TPU v5e/city10000 the
+# relayouts dominate: tangent 71 us, precond 119 us, Weingarten 83 us,
+# retract 883 us per call, vs ~219 us for the SpMM itself.  The tCG state
+# is therefore kept *planar* -- a pytree of dh lane-major [r_pad, n]
+# component slices plus the sphere/tail sections -- where every manifold op
+# is straight-line fusible VPU arithmetic, and the interleaved layout is
+# materialized only at the SpMM boundary (2 relayouts per Hessian product
+# instead of ~8 per inner iteration).
+# --------------------------------------------------------------------------
+
+
+class Planar(NamedTuple):
+    """tCG state/vector in component-major (planar) layout."""
+
+    pose: tuple           # dh arrays f[r_pad, n] (components 0..d rot, d trn)
+    sph: jax.Array        # f[r_pad, l]
+    tail: jax.Array       # f[r_pad, kpad - sph_end] (landmarks + padding)
+
+
+def to_planar(meta: TiledMeta, Xf: jax.Array) -> Planar:
+    """Flat [r_pad, kpad] -> Planar (one relayout of the pose section)."""
+    P3 = _pose3(meta, Xf).transpose(0, 2, 1)  # [r, dh, n]
+    _, sph, tail = _sections(meta, Xf)
+    return Planar(pose=tuple(P3[:, c] for c in range(meta.dh)),
+                  sph=sph, tail=tail)
+
+
+def from_planar(meta: TiledMeta, Xp: Planar) -> jax.Array:
+    """Planar -> flat [r_pad, kpad] (one relayout of the pose section)."""
+    return _join_cols(meta, list(Xp.pose), Xp.sph, Xp.tail)
+
+
+def tangent_project_planar(meta: TiledMeta, Xp: Planar,
+                           Vp: Planar) -> Planar:
+    """V - Y sym(Y^T V) on Stiefel blocks; sphere de-projection; id on R."""
+    d = meta.d
+    S = [[jnp.sum(Xp.pose[a] * Vp.pose[b], axis=0) for b in range(d)]
+         for a in range(d)]
+    rot = []
+    for a in range(d):
+        acc = Vp.pose[a]
+        for b in range(d):
+            acc = acc - Xp.pose[b] * (0.5 * (S[b][a] + S[a][b]))[None, :]
+        rot.append(acc)
+    if meta.l:
+        inner = jnp.sum(Xp.sph * Vp.sph, axis=0, keepdims=True)
+        sph = Vp.sph - Xp.sph * inner
+    else:
+        sph = Vp.sph
+    return Planar(pose=tuple(rot + [Vp.pose[d]]), sph=sph, tail=Vp.tail)
+
+
+def weingarten_setup_planar(meta: TiledMeta, Xp: Planar, egrad: Planar):
+    d = meta.d
+    S = [[jnp.sum(Xp.pose[a] * egrad.pose[b], axis=0) for b in range(d)]
+         for a in range(d)]
+    Ssym = [[0.5 * (S[b][a] + S[a][b]) for b in range(d)] for a in range(d)]
+    if meta.l:
+        s_inner = jnp.sum(Xp.sph * egrad.sph, axis=0, keepdims=True)
+    else:
+        s_inner = None
+    return (Ssym, s_inner)
+
+
+def weingarten_apply_planar(meta: TiledMeta, eta: Planar, aux) -> Planar:
+    Ssym, s_inner = aux
+    d = meta.d
+    rot = []
+    for a in range(d):
+        acc = eta.pose[0] * Ssym[a][0][None, :]
+        for b in range(1, d):
+            acc = acc + eta.pose[b] * Ssym[a][b][None, :]
+        rot.append(acc)
+    sph = eta.sph * s_inner if meta.l else eta.sph
+    return Planar(pose=tuple(rot + [jnp.zeros_like(eta.pose[d])]),
+                  sph=sph, tail=jnp.zeros_like(eta.tail))
+
+
+def precondition_planar(TP: TiledProblem, Vp: Planar) -> Planar:
+    meta = TP.meta
+    dh = meta.dh
+    inv = TP.pose_inv.astype(Vp.pose[0].dtype)
+    out = []
+    for e in range(dh):
+        acc = Vp.pose[0] * inv[0, e][None, :]
+        for c in range(1, dh):
+            acc = acc + Vp.pose[c] * inv[c, e][None, :]
+        out.append(acc)
+    sph = Vp.sph * TP.sph_inv.astype(Vp.sph.dtype)[None, :] \
+        if meta.l else Vp.sph
+    if meta.b:
+        lmk = Vp.tail[:, :meta.b] * \
+            TP.lmk_inv.astype(Vp.tail.dtype)[None, :]
+        tail = jnp.concatenate([lmk, Vp.tail[:, meta.b:]], axis=1)
+    else:
+        tail = Vp.tail
+    return Planar(pose=tuple(out), sph=sph, tail=tail)
+
+
+_NS_ITERS = 36  # Newton-Schulz sweeps; see retract_planar
+
+
+def retract_planar(meta: TiledMeta, Xp: Planar, Vp: Planar) -> Planar:
+    """Polar retraction, fully lane-parallel (no batched eigh).
+
+    The Gram matrices M_i = A_i^T A_i (A = X + V) are d x d symmetric
+    per-pose; their inverse square roots are computed with the coupled
+    Newton-Schulz iteration  Y <- Y (3I - ZY)/2, Z <- (3I - ZY) Z / 2
+    (Y -> B^{1/2}, Z -> B^{-1/2} for B = M/s, s >= lambda_max via the
+    trace bound), entirely as elementwise ops on [n] vectors: measured
+    ~25x faster than the [n, d, d] eigh path of retract_flat on TPU.
+    Convergence: lambda_min(M) >= 1 when X is feasible and V tangent
+    (M = I + V^T V), so scaled eigenvalues lie in [1/s, 1] and _NS_ITERS
+    sweeps contract the slowest mode by 1.5^k -- 36 sweeps cover
+    s <= ~1e6, i.e. tangent steps up to norm ~1e3 per pose.
+    """
+    d = meta.d
+    A = [Xp.pose[c] + Vp.pose[c] for c in range(meta.dh)]
+    idx = [(a, b) for a in range(d) for b in range(a, d)]
+    M = {}
+    for a, b in idx:
+        M[(a, b)] = jnp.sum(A[a] * A[b], axis=0)  # [n]
+
+    def get(H, a, b):
+        return H[(a, b)] if (a, b) in H else H[(b, a)]
+
+    tr = sum(M[(a, a)] for a in range(d))
+    s = jnp.maximum(tr, 1e-12)  # >= lambda_max; M PSD
+    B = {ab: M[ab] / s for ab in M}
+    Y = dict(B)
+    Z = {(a, b): (jnp.ones_like(tr) if a == b else jnp.zeros_like(tr))
+         for (a, b) in idx}
+
+    def sym_mul(H1, H2):
+        # T = 3I - H1 @ H2 (general d x d product of symmetric operands,
+        # returned as a full dict over (a, b) pairs, not symmetric itself)
+        T = {}
+        for a in range(d):
+            for b in range(d):
+                acc = sum(get(H1, a, c) * get(H2, c, b) for c in range(d))
+                T[(a, b)] = (3.0 if a == b else 0.0) - acc
+        return T
+
+    for _ in range(_NS_ITERS):
+        T = sym_mul(Z, Y)  # T = 3I - Z Y
+        # Y <- 0.5 Y T ; Z <- 0.5 T Z  (keep only upper triangles: both
+        # iterates stay symmetric in exact arithmetic)
+        Yn, Zn = {}, {}
+        for a, b in idx:
+            Yn[(a, b)] = 0.5 * sum(
+                get(Y, a, c) * T[(c, b)] for c in range(d))
+            Zn[(a, b)] = 0.5 * sum(
+                T[(a, c)] * get(Z, c, b) for c in range(d))
+        Y, Z = Yn, Zn
+
+    rs = jax.lax.rsqrt(s)  # M^{-1/2} = Z / sqrt(s)
+    rot = []
+    for b in range(d):
+        acc = A[0] * (get(Z, 0, b) * rs)[None, :]
+        for a in range(1, d):
+            acc = acc + A[a] * (get(Z, a, b) * rs)[None, :]
+        rot.append(acc)
+    if meta.l:
+        S = Xp.sph + Vp.sph
+        nrm = jnp.linalg.norm(S, axis=0, keepdims=True)
+        sph = S / jnp.where(nrm == 0, 1.0, nrm)
+    else:
+        sph = Xp.sph + Vp.sph
+    return Planar(pose=tuple(rot + [A[d]]),
+                  sph=sph, tail=Xp.tail + Vp.tail)
+
+
 def cost_flat(TP: TiledProblem, Xf: jax.Array,
               Gf: Optional[jax.Array] = None):
     """f = 0.5 <Xf Q, Xf> + <Xf, Gf>."""

@@ -177,17 +177,33 @@ def certificate_min_eig(Q: sp.csr_matrix, Xf: np.ndarray, n: int,
     # DCORA_utils.cpp:1807-1896): ask for the largest-magnitude eigenvalue
     # first, then the smallest of (S - lam_max I) recovers lambda_min
     # robustly even when S >= 0 with a near-zero bottom eigenvalue.
-    from scipy.sparse.linalg import eigsh
+    from scipy.sparse.linalg import ArpackNoConvergence, eigsh, lobpcg
 
-    lam_max = float(eigsh(S, k=1, which="LA",
-                          return_eigenvectors=False, tol=1e-6)[0])
+    lam_max = float(eigsh(S, k=1, which="LA", return_eigenvectors=False,
+                          tol=1e-4, ncv=min(k_dim, 50))[0])
     shift = 1.01 * max(lam_max, 1e-6)
     # B = shift*I - S is PSD with dominant eigenvalue shift - lambda_min,
     # which Lanczos finds fastest (dominant extreme); recover lambda_min.
-    B = shift * sp.identity(k_dim, format="csc") - S
-    lam_b = float(eigsh(B, k=1, which="LA",
-                        return_eigenvectors=False, tol=1e-9)[0])
-    return shift - lam_b
+    # At a certified optimum the top of B is heavily clustered (every
+    # near-zero eigenvalue of S maps near `shift`), so give Lanczos a real
+    # subspace (ncv) and validate through the Rayleigh quotient; on ARPACK
+    # non-convergence fall back to block LOBPCG, which handles clusters.
+    B = (shift * sp.identity(k_dim, format="csc") - S).tocsr()
+    rng = np.random.default_rng(0)
+    try:
+        vals, vecs = eigsh(B, k=1, which="LA", tol=1e-7,
+                           ncv=min(k_dim, 96), maxiter=40 * k_dim,
+                           v0=rng.standard_normal(k_dim))
+        v = vecs[:, 0]
+    except ArpackNoConvergence as e:
+        if len(e.eigenvectors) and e.eigenvectors.shape[1]:
+            v = e.eigenvectors[:, -1]
+        else:
+            Xb = rng.standard_normal((k_dim, 4))
+            w, Vb = lobpcg(B, Xb, tol=1e-6, maxiter=2000, largest=True)
+            v = Vb[:, int(np.argmax(w))]
+    v = v / np.linalg.norm(v)
+    return float(v @ (S @ v))  # exact Rayleigh quotient of the estimate
 
 
 def verify_solution(measurements, X, d: int,

@@ -117,6 +117,61 @@ def test_spmm_grouped_kernel_matches_xla_path(G):
                                np.asarray(ref) / scale, atol=2e-6)
 
 
+def test_planar_ops_match_flat_ops():
+    """Planar-layout manifold/preconditioner ops == flat-layout ops.
+
+    Exercised on a graph with every variable kind (poses, spheres,
+    landmarks).  retract_planar uses Newton-Schulz instead of eigh, so it
+    is checked both against retract_flat and for manifold feasibility,
+    including a large step (NS scaling covers per-pose step norms ~1e3).
+    """
+    rng = np.random.default_rng(5)
+    g = _random_ra_graph(rng, n=9, l=5, b=4)
+    P = g.problem_data()
+    TP = tiled.build_tiled(P, g.dims, T=128, dtype=np.float64)
+    meta = TP.meta
+    X = manifold.random_state(jax.random.PRNGKey(2), g.dims, g.d)
+    Xf = tiled.to_flat(TP, X)
+    Xp = tiled.to_planar(meta, Xf)
+
+    np.testing.assert_allclose(np.asarray(tiled.from_planar(meta, Xp)),
+                               np.asarray(Xf), atol=0)
+
+    Vf = jnp.asarray(rng.standard_normal(Xf.shape))
+    Vp = tiled.to_planar(meta, Vf)
+
+    out_flat = tiled.tangent_project_flat(meta, Xf, Vf)
+    out_pl = tiled.from_planar(
+        meta, tiled.tangent_project_planar(meta, Xp, Vp))
+    np.testing.assert_allclose(np.asarray(out_pl), np.asarray(out_flat),
+                               atol=1e-12)
+
+    out_flat = tiled.precondition_flat(TP, Vf)
+    out_pl = tiled.from_planar(meta, tiled.precondition_planar(TP, Vp))
+    np.testing.assert_allclose(np.asarray(out_pl), np.asarray(out_flat),
+                               atol=1e-12)
+
+    egf = tiled.egrad_flat(TP, Xf)
+    aux_f = tiled.weingarten_setup(meta, Xf, egf)
+    aux_p = tiled.weingarten_setup_planar(meta, Xp,
+                                          tiled.to_planar(meta, egf))
+    out_flat = tiled.weingarten_apply(meta, Vf, aux_f)
+    out_pl = tiled.from_planar(
+        meta, tiled.weingarten_apply_planar(meta, Vp, aux_p))
+    np.testing.assert_allclose(np.asarray(out_pl), np.asarray(out_flat),
+                               atol=1e-12)
+
+    for scale in (1e-3, 1.0, 300.0):
+        Tf = tiled.tangent_project_flat(meta, Xf, Vf * scale)
+        Tp = tiled.to_planar(meta, Tf)
+        R_flat = tiled.retract_flat(meta, Xf, Tf)
+        R_pl = tiled.from_planar(meta, tiled.retract_planar(meta, Xp, Tp))
+        np.testing.assert_allclose(np.asarray(R_pl), np.asarray(R_flat),
+                                   atol=1e-9)
+        err = manifold.manifold_error(tiled.from_flat(TP, R_pl))
+        assert float(err) < 1e-10
+
+
 def test_flat_roundtrip_and_rank_padding():
     rng = np.random.default_rng(1)
     g = _random_ra_graph(rng)

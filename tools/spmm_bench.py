@@ -22,15 +22,32 @@ import numpy as np  # noqa: E402
 
 
 def timeit(fn, *args, reps=50):
-    import jax
+    """Time fn inside ONE jitted fori_loop: per-call dispatch through the
+    axon tunnel costs ~1-2 ms, so eager rep loops measure dispatch, not
+    the kernel.  A 0.999 rescale between calls enforces the data
+    dependency without changing the memory/compute profile."""
+    import functools
 
-    out = fn(*args)
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def loop(X, n):
+        # dynamic trip count -> one compilation serves every rep count
+        return jax.lax.fori_loop(0, n, lambda i, Y: fn(Y) * 0.999, X,
+                                 unroll=False)
+
+    out = loop(*args, n=2)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
-    for _ in range(reps):
-        out = fn(*args)
+    out = loop(*args, n=2)
     jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / reps, out
+    base = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    out = loop(*args, n=reps + 2)
+    jax.block_until_ready(out)
+    tot = time.perf_counter() - t0
+    return (tot - base) / reps, fn(*args)
 
 
 def main():
