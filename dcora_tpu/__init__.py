@@ -22,6 +22,14 @@ Design deltas from the reference (TPU-first, not a port):
 
 import os
 
+# Platform override: the axon TPU plugin registers via sitecustomize and
+# ignores JAX_PLATFORMS, so drivers/tools need an in-code switch.  Set
+# DCORA_PLATFORM=cpu to force CPU (exact f64, no chip contention).
+if os.environ.get("DCORA_PLATFORM"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["DCORA_PLATFORM"])
+
 # Certification and noiseless fixed-point parity require double precision
 # (reference test bar: 1e-9, tests/testAgent.cpp:20).
 if os.environ.get("DCORA_TPU_X64", "1") == "1":

@@ -167,10 +167,30 @@ def minimum_eigen_pair(P: ProblemData, C: Certificate, dims: ProblemDims,
     if float(jnp.linalg.norm(v0s)) < 1e-12:
         v0s = jnp.asarray(rng.standard_normal(dims.k))
 
-    lam_s, y_s, res_s = _lanczos_extreme(
-        P, C, dims, -2.0 * lam_lm, v0s, m
-    )
-    return float(lam_s + 2.0 * lam_lm), np.asarray(y_s), float(res_s)
+    # Restarted Lanczos: one m-step sweep is not enough when the bottom of
+    # the spectrum is clustered relative to the spread (the relative gap
+    # can be ~1e-6, e.g. single_drone.pyfg, where a single sweep missed a
+    # -4.7e-3 eigenvalue and falsely certified).  Each restart seeds the
+    # next sweep with the current Ritz vector, so the estimate decreases
+    # monotonically; stop after two consecutive stagnant sweeps.
+    lam_best = None
+    y_s, res_s = None, 0.0
+    stagnant = 0
+    for _ in range(40):
+        lam_s, y_s, res_s = _lanczos_extreme(
+            P, C, dims, -2.0 * lam_lm, v0s, m
+        )
+        lam_cur = float(lam_s + 2.0 * lam_lm)
+        if lam_best is not None and \
+                lam_cur > lam_best - max(1e-12, 1e-9 * abs(lam_lm_f)):
+            stagnant += 1
+            if stagnant >= 2:
+                break
+        else:
+            stagnant = 0
+        lam_best = lam_cur if lam_best is None else min(lam_best, lam_cur)
+        v0s = jnp.asarray(y_s)
+    return lam_best, np.asarray(y_s), float(res_s)
 
 
 # --------------------------------------------------------------------------
@@ -260,12 +280,119 @@ def minimum_eigen_pair_tiled(TP, X: RAState, num_lanczos: int = 64):
     if float(lam_lm) < 0:
         y = tiled.from_flat(TP, y_lm[None].astype(jnp.float64))
         return float(lam_lm), np.asarray(lifted.to_flat(y)[0])
-    lam_s, y_s = _lanczos_extreme_flat(
-        TP, aux, jnp.asarray(-2.0, dt) * lam_lm, v0, m
-    )
-    y = tiled.from_flat(TP, y_s[None].astype(jnp.float64))
-    return float(lam_s + 2.0 * float(lam_lm)), \
-        np.asarray(lifted.to_flat(y)[0])
+    # restarted sweeps (see minimum_eigen_pair: single sweeps miss
+    # clustered bottom eigenvalues); f32 here, so stagnate at f32 noise
+    lam_best, y_best = None, None
+    stagnant = 0
+    for _ in range(20):
+        lam_s, y_s = _lanczos_extreme_flat(
+            TP, aux, jnp.asarray(-2.0, dt) * lam_lm, v0, m
+        )
+        lam_cur = float(lam_s + 2.0 * float(lam_lm))
+        if lam_best is not None and \
+                lam_cur > lam_best - 1e-6 * abs(float(lam_lm)):
+            stagnant += 1
+            if stagnant >= 2:
+                break
+        else:
+            stagnant = 0
+        if lam_best is None or lam_cur < lam_best:
+            lam_best, y_best = lam_cur, y_s
+        v0 = y_s
+    y = tiled.from_flat(TP, y_best[None].astype(jnp.float64))
+    return lam_best, np.asarray(lifted.to_flat(y)[0])
+
+
+def _Q_host(P: ProblemData, dims: ProblemDims):
+    """Exact scipy CSR of the local Q, reconstructed from the ELL form
+    (ELL slots + the COO overflow together carry every entry) or, when P
+    carries no ELL, assembled host-side by the same closed-form blocks."""
+    import scipy.sparse as sp
+
+    E = P.ell
+    if E is None:
+        E = prob.build_ell(
+            dims.n, dims.l, dims.b, dims.d,
+            P.pp_ri, P.pp_rj, P.pp_ti, P.pp_tj, P.pp_R, P.pp_t,
+            np.asarray(P.pp_kappa) * np.asarray(P.pp_w)
+            * np.asarray(P.pp_active),
+            np.asarray(P.pp_tau) * np.asarray(P.pp_w)
+            * np.asarray(P.pp_active),
+            P.pl_ri, P.pl_ti, P.pl_tj, P.pl_t,
+            np.asarray(P.pl_tau) * np.asarray(P.pl_w)
+            * np.asarray(P.pl_active),
+            P.rg_ti, P.rg_tj, P.rg_q, P.rg_rho,
+            np.asarray(P.rg_prec) * np.asarray(P.rg_w)
+            * np.asarray(P.rg_active),
+            kdiag=P.prior_kdiag, tdiag=P.prior_tdiag,
+        )
+    k = dims.k
+    cols = np.asarray(E.cols)
+    vals = np.asarray(E.vals)
+    D = cols.shape[1]
+    rows = np.repeat(np.arange(k), D)
+    c, v = cols.ravel(), vals.ravel()
+    m = c < k  # padding slots address the extra zero row k
+    rows, c, v = rows[m], c[m], v[m]
+    if E.ov_rows.shape[0]:
+        rows = np.concatenate([rows, np.asarray(E.ov_rows)])
+        c = np.concatenate([c, np.asarray(E.ov_cols)])
+        v = np.concatenate([v, np.asarray(E.ov_vals)])
+    return sp.coo_matrix((v, (rows, c)), shape=(k, k)).tocsr()
+
+
+def _min_eig_host(P: ProblemData, C: Certificate, dims: ProblemDims
+                  ) -> Tuple[float, np.ndarray]:
+    """Factorization-grade host check of lambda_min(S).
+
+    Lanczos Ritz values converge to lambda_min FROM ABOVE, so an
+    unconverged device estimate can falsely certify (observed on
+    single_drone.pyfg: spectral spread ~1e6 from range precisions made a
+    -4.7e-3 bottom eigenvalue invisible to 40 restarted 64-step sweeps).
+    The reference avoids this with an exact CHOLMOD factorization
+    (isSparseSymmetricMatrixPSD, DCORA_utils.cpp:1737-1747) and a
+    Spectra shift-invert fallback (:1749-1805).  This is the equivalent:
+    assemble S host-side and resolve the bottom of the spectrum with
+    ARPACK (implicitly-restarted, with locking) on shift*I - S, LOBPCG
+    as fallback, validated by an exact Rayleigh quotient.
+    """
+    import scipy.sparse as sp
+    from scipy.sparse.linalg import ArpackNoConvergence, eigsh, lobpcg
+
+    k = dims.k
+    n, d, l = dims.n, dims.d, dims.l  # noqa: E741
+    Q = _Q_host(P, dims)
+    rot = np.asarray(C.rot_blocks)  # [n, d, d]
+    rows = (np.arange(n)[:, None, None] * d
+            + np.broadcast_to(np.arange(d)[:, None], (n, d, d)))
+    cols = (np.arange(n)[:, None, None] * d
+            + np.broadcast_to(np.arange(d)[None, :], (n, d, d)))
+    lam_rows = np.concatenate([rows.ravel(), n * d + np.arange(l)])
+    lam_cols = np.concatenate([cols.ravel(), n * d + np.arange(l)])
+    lam_vals = np.concatenate([rot.ravel(), np.asarray(C.sph_diag)])
+    Lam = sp.coo_matrix((lam_vals, (lam_rows, lam_cols)),
+                        shape=(k, k)).tocsr()
+    S = Q - Lam
+
+    lam_max = float(eigsh(S, k=1, which="LA", return_eigenvectors=False,
+                          tol=1e-4, ncv=min(k, 50))[0])
+    shift = 1.01 * max(lam_max, 1e-6)
+    B = (shift * sp.identity(k, format="csr") - S).tocsr()
+    rng = np.random.default_rng(0)
+    try:
+        _, vecs = eigsh(B, k=1, which="LA", tol=1e-7,
+                        ncv=min(k, 96), maxiter=40 * k,
+                        v0=rng.standard_normal(k))
+        v = vecs[:, 0]
+    except ArpackNoConvergence as e:
+        if len(e.eigenvectors) and e.eigenvectors.shape[1]:
+            v = e.eigenvectors[:, -1]
+        else:
+            Xb = rng.standard_normal((k, 4))
+            w, Vb = lobpcg(B, Xb, tol=1e-6, maxiter=2000, largest=True)
+            v = Vb[:, int(np.argmax(w))]
+    v = v / np.linalg.norm(v)
+    return float(v @ (S @ v)), v
 
 
 def fast_verification(P: ProblemData, X: RAState, eta: float,
@@ -276,11 +403,16 @@ def fast_verification(P: ProblemData, X: RAState, eta: float,
     Returns (is_psd, theta, min_eigenvector) where theta = v^T S v for the
     estimated minimum eigenvector (0, None when certified).
 
-    With TP (a tiled.TiledProblem), the min-eig search runs on the tiled
-    f32 path; a negative conclusion is validated by an exact f64 Rayleigh
-    quotient (sound: theta >= lambda_min), while a PSD conclusion is
-    re-confirmed by the f64 Lanczos -- PSD happens once per staircase, so
-    the expensive confirmation amortizes.
+    Soundness split: "not PSD" conclusions are validated by an exact f64
+    Rayleigh quotient (theta >= lambda_min, so a negative theta proves
+    indefiniteness); "PSD" conclusions cannot be proven by Lanczos (Ritz
+    values approach lambda_min from above) and are confirmed by the
+    factorization-grade host check (_min_eig_host), the analogue of the
+    reference's CHOLMOD PSD test.  PSD happens once per staircase, so the
+    host confirmation amortizes.
+
+    With TP (a tiled.TiledProblem), the min-eig search first runs on the
+    tiled f32 TPU path, which settles the common not-PSD case cheaply.
     """
     C = dual_certificate_blocks(P, X)
     dims = X.dims
@@ -294,14 +426,18 @@ def fast_verification(P: ProblemData, X: RAState, eta: float,
             return False, theta, np.asarray(vj)
         # fall through to the exact search to certify PSD soundly
     lam_min, v, resid = minimum_eigen_pair(P, C, dims, num_lanczos)
-    # is S + eta I PSD?  <=>  lam_min(S) >= -eta
-    if lam_min + eta >= 0:
+    if lam_min + eta < 0:
+        # curvature along the estimated eigenvector w.r.t. S itself
+        vj = jnp.asarray(v)
+        Sv = _flat_matvec(P, C, dims, 0.0)(vj)
+        theta = float(jnp.vdot(vj, Sv))
+        if theta + eta < 0:
+            return False, theta, v
+    # device Lanczos believes lam_min(S) >= -eta: confirm on host
+    lam_host, v_host = _min_eig_host(P, C, dims)
+    if lam_host + eta >= 0:
         return True, 0.0, None
-    # curvature along the estimated eigenvector w.r.t. S itself
-    vj = jnp.asarray(v)
-    Sv = _flat_matvec(P, C, dims, 0.0)(vj)
-    theta = float(jnp.vdot(vj, Sv))
-    return False, theta, v
+    return False, lam_host, v_host
 
 
 # --------------------------------------------------------------------------
