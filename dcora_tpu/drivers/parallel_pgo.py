@@ -54,7 +54,8 @@ def init_multihost(coordinator: str, num_processes: int, process_id: int):
 
 def run(num_agents: int, g2o_path: str, r: int = 5, max_rounds: int = 1000,
         rgrad_norm_tol: float = 0.1, check_every: int = 10,
-        verbose: bool = False):
+        verbose: bool = False, backend: str = "auto",
+        tile_dtype=None):
     import jax
     import jax.numpy as jnp
     from jax.sharding import Mesh
@@ -106,7 +107,17 @@ def run(num_agents: int, g2o_path: str, r: int = 5, max_rounds: int = 1000,
         states.append(RAState(rot=X.rot[s:e], sph=X.sph[:0],
                               trn=X.trn[s:e]))
 
-    pp = build_parallel_problem(graphs)
+    # backend: "tiled" runs each block update on the MXU SpMM path (f32
+    # tiles on TPU, f64 on CPU); "edge" is the exact f64 gather/scatter
+    # path; "auto" picks tiled on TPU, edge elsewhere.
+    if backend == "auto":
+        backend = "tiled" if jax.default_backend() not in ("cpu",) \
+            else "edge"
+    if tile_dtype is None:
+        tile_dtype = (np.float32 if jax.default_backend() != "cpu"
+                      else np.float64)
+    pp = build_parallel_problem(graphs, backend=backend,
+                                tile_dtype=tile_dtype)
     pp = globalize(pp, mesh)
     cfg = RTRConfig(gradnorm_tol=1e-2, max_inner=50,
                     single_accepted_step=True)
@@ -186,6 +197,9 @@ def main():
     ap.add_argument("--tol", type=float, default=0.1)
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (virtual devices)")
+    ap.add_argument("--backend", default="auto",
+                    choices=["auto", "edge", "tiled"],
+                    help="block-update compute path (tiled = MXU SpMM)")
     ap.add_argument("--verbose", action="store_true")
     ap.add_argument("--coordinator",
                     default=os.environ.get("JAX_COORDINATOR", ""),
@@ -203,7 +217,8 @@ def main():
         init_multihost(args.coordinator, args.num_processes,
                        args.process_id)
     run(args.num_agents, args.g2o, r=args.rank, max_rounds=args.rounds,
-        rgrad_norm_tol=args.tol, verbose=args.verbose)
+        rgrad_norm_tol=args.tol, verbose=args.verbose,
+        backend=args.backend)
 
 
 if __name__ == "__main__":

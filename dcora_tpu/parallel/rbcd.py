@@ -32,7 +32,7 @@ from dcora_tpu.core.graph import LocalGraph
 from dcora_tpu.core.lifted import RAState
 from dcora_tpu.core.manifold import project, retract, tangent_project
 from dcora_tpu.core.problem import ProblemData
-from dcora_tpu.core.rtr import RTRConfig, _rtr_impl
+from dcora_tpu.core.rtr import PLANAR_BACKEND, RTRConfig, _rtr_impl
 from dcora_tpu.types import GraphType, StateID, StateType
 
 
@@ -93,6 +93,11 @@ class ParallelRBCDProblem:
     num_agents: int
     graphs: List[LocalGraph]
     regs: jax.Array  # f64[A] preconditioner regularization per agent
+    # optional MXU fast path: per-agent TiledProblem of the local block
+    # Q_bb, data leaves stacked along the agent axis, tile lists padded to
+    # a common count (zero tiles are harmless under the segment-sum).
+    # meta is shared: every agent is padded to (n_max, l_max, b_max).
+    tiled: Optional[object] = None  # tiled.TiledProblem with [A, ...] leaves
 
 
 def _pad_int(arr, size, pad_value):
@@ -109,9 +114,21 @@ def _pad_float(arr, size, extra_dims=()):
 
 
 def build_parallel_problem(
-    graphs: List[LocalGraph], agent_of_robot: Optional[Dict[int, int]] = None
+    graphs: List[LocalGraph],
+    agent_of_robot: Optional[Dict[int, int]] = None,
+    backend: str = "edge",
+    tile_dtype=np.float64,
+    tile_T: int = 128,
 ) -> ParallelRBCDProblem:
-    """Compile per-agent LocalGraphs into one padded batched problem."""
+    """Compile per-agent LocalGraphs into one padded batched problem.
+
+    backend="tiled" additionally builds per-agent RCM block-tiled forms of
+    the local Q (core.tiled) so the round runs each block update on the
+    MXU SpMM path instead of the gather/scatter edge path (the reference's
+    per-block work, QuadraticOptimizer.cpp:234-280, is a sparse SpMV; the
+    tiled form is its TPU shape).  tile_dtype=f32 for TPU scaling runs,
+    f64 for exact CPU verification.
+    """
     A = len(graphs)
     d = graphs[0].d
     if agent_of_robot is None:
@@ -316,12 +333,62 @@ def build_parallel_problem(
         l_sizes=jnp.asarray([g.l for g in graphs], dtype=jnp.int32),
         t_sizes=jnp.asarray([g.n + g.b for g in graphs], dtype=jnp.int32),
     )
+    tiled_batched = None
+    if backend == "tiled":
+        tiled_batched = _build_tiled_batched(
+            P_loc_batched, n_max, l_max, b_max, d, regs, tile_dtype, tile_T
+        )
     return ParallelRBCDProblem(
         batched=batched, n_max=n_max, l_max=l_max, b_max=b_max,
         t_max=t_max, fp_max=fp_max, ft_max=ft_max, fs_max=fs_max,
         pp_max=pp_max, plm_max=plm_max, ps_max=ps_max, d=d,
         num_agents=A, graphs=graphs, regs=jnp.asarray(np.array(regs)),
+        tiled=tiled_batched,
     )
+
+
+def _build_tiled_batched(P_loc_batched: ProblemData, n_max: int, l_max: int,
+                         b_max: int, d: int, regs, tile_dtype, tile_T: int):
+    """Per-agent core.tiled problems of Q_bb, stacked along the agent axis.
+
+    Every agent is padded to the same (n_max, l_max, b_max), so all agents
+    share one TiledMeta (the static pytree leaf) and the same kpad; only
+    the tile count differs, padded here to the per-fleet maximum with zero
+    tiles (they accumulate zeros into tile (0, 0) -- harmless).
+    """
+    from dcora_tpu.core import tiled
+    from dcora_tpu.types import ProblemDims
+
+    A = P_loc_batched.pp_ri.shape[0]
+    dims = ProblemDims(d=d, n=n_max, l=l_max, b=b_max)
+    per_agent = []
+    for a in range(A):
+        P_a = jax.tree.map(lambda x: x[a], P_loc_batched)
+        per_agent.append(tiled.build_tiled(
+            P_a, dims, T=tile_T, dtype=tile_dtype, reg=float(regs[a]),
+            with_pallas=False,
+        ))
+    m_max = max(int(tp.Q.tiles.shape[0]) for tp in per_agent)
+
+    def pad_tiles(tp):
+        m = int(tp.Q.tiles.shape[0])
+        if m == m_max:
+            return tp
+        pad = m_max - m
+        Q = tp.Q._replace(
+            tiles=jnp.concatenate(
+                [tp.Q.tiles,
+                 jnp.zeros((pad,) + tp.Q.tiles.shape[1:],
+                           tp.Q.tiles.dtype)]),
+            tile_rows=jnp.concatenate(
+                [tp.Q.tile_rows, jnp.zeros(pad, jnp.int32)]),
+            tile_cols=jnp.concatenate(
+                [tp.Q.tile_cols, jnp.zeros(pad, jnp.int32)]),
+        )
+        return dataclasses.replace(tp, Q=Q)
+
+    per_agent = [pad_tiles(tp) for tp in per_agent]
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *per_agent)
 
 
 def pack_states(pp: ParallelRBCDProblem, states: List[RAState]) -> RAState:
@@ -405,23 +472,46 @@ def pack_states_global(pp: ParallelRBCDProblem, states: List[RAState],
     return jax.tree.map(to_global, Xb)
 
 
+def _linear_term(P_a: ProblemData, X_a: RAState, fixed_a: RAState):
+    """G from fixed neighbor states (augmented apply)."""
+    n_loc = X_a.rot.shape[0]
+    l_loc = X_a.sph.shape[0]
+    t_loc = X_a.trn.shape[0]
+    zeros_local = jax.tree.map(jnp.zeros_like, X_a)
+    X_aug = prob.augment(zeros_local, fixed_a)
+    return prob.restrict(prob.apply_Q(P_a, X_aug), n_loc, l_loc, t_loc)
+
+
 def _one_agent_update(P_a: ProblemData, P_loc: ProblemData, M, X_a: RAState,
                       fixed_a: RAState, cfg: RTRConfig, d: int):
     """One single-accepted-step RTR update for one (padded) agent.
 
     P_loc (fixed slots remapped onto the pad slot) and the factored
     preconditioner M are precomputed in build_parallel_problem."""
-    n_loc = X_a.rot.shape[0]
-    l_loc = X_a.sph.shape[0]
-    t_loc = X_a.trn.shape[0]
-
-    # G from fixed neighbor states (augmented apply)
-    zeros_local = jax.tree.map(jnp.zeros_like, X_a)
-    X_aug = prob.augment(zeros_local, fixed_a)
-    G = prob.restrict(prob.apply_Q(P_a, X_aug), n_loc, l_loc, t_loc)
-
+    G = _linear_term(P_a, X_a, fixed_a)
     res = _rtr_impl(P_loc, G, M, X_a, cfg)
     return res.X, res.gradnorm_final
+
+
+def _one_agent_update_tiled(TP_a, P_a: ProblemData, X_a: RAState,
+                            fixed_a: RAState, cfg: RTRConfig):
+    """Tiled-backend block update: the edge path computes G once per round,
+    then the whole RTR solve (cost/grad/Hessian/precond/retract) runs on
+    the planar MXU path at the tile dtype."""
+    from dcora_tpu.core import tiled
+
+    G = _linear_term(P_a, X_a, fixed_a)
+    dt = TP_a.Q.tiles.dtype
+    r = X_a.rot.shape[1]
+    r_pad = max(8, -(-r // 8) * 8)
+    Xf = tiled.to_flat(TP_a, X_a, r_pad=r_pad).astype(dt)
+    Gf = tiled.to_flat(TP_a, G, r_pad=r_pad).astype(dt)
+    Xp0 = tiled.to_planar(TP_a.meta, Xf)
+    Gp = tiled.to_planar(TP_a.meta, Gf)
+    res = _rtr_impl(TP_a, Gp, None, Xp0, cfg, be=PLANAR_BACKEND)
+    Xf_new = tiled.from_planar(TP_a.meta, res.X)
+    X_new = tiled.from_flat(TP_a, Xf_new.astype(X_a.rot.dtype), r=r)
+    return X_new, res.gradnorm_final.astype(X_a.rot.dtype)
 
 
 def make_parallel_round(pp: ParallelRBCDProblem, cfg: RTRConfig,
@@ -435,6 +525,7 @@ def make_parallel_round(pp: ParallelRBCDProblem, cfg: RTRConfig,
     from jax import shard_map
 
     B = pp.batched
+    TPb = pp.tiled  # None => edge-path block updates
     d = pp.d
 
     def publish(X: RAState):
@@ -464,7 +555,7 @@ def make_parallel_round(pp: ParallelRBCDProblem, cfg: RTRConfig,
 
     B_loc = {}
 
-    def round_fn_shard(P_shard, P_loc_shard, M_shard,
+    def round_fn_shard(P_shard, P_loc_shard, M_shard, TP_shard,
                        fix_pose_src, fix_trans_src, fix_sph_src,
                        pub_pose_idx, pub_lmk_idx, pub_sph_idx,
                        X_rot, X_sph, X_trn):
@@ -496,13 +587,20 @@ def make_parallel_round(pp: ParallelRBCDProblem, cfg: RTRConfig,
             fix_pose_src, fix_trans_src, fix_sph_src
         )
 
-        def upd(P_a, P_loc_a, M_a, X_a, fixed_a):
-            return _one_agent_update(P_a, P_loc_a, M_a, X_a, fixed_a,
-                                     cfg, d)
+        if TP_shard is not None:
+            def upd_t(TP_a, P_a, X_a, fixed_a):
+                return _one_agent_update_tiled(TP_a, P_a, X_a, fixed_a,
+                                               cfg)
 
-        X_new, gnorms = jax.vmap(upd)(
-            P_shard, P_loc_shard, M_shard, X, fixed
-        )
+            X_new, gnorms = jax.vmap(upd_t)(TP_shard, P_shard, X, fixed)
+        else:
+            def upd(P_a, P_loc_a, M_a, X_a, fixed_a):
+                return _one_agent_update(P_a, P_loc_a, M_a, X_a, fixed_a,
+                                         cfg, d)
+
+            X_new, gnorms = jax.vmap(upd)(
+                P_shard, P_loc_shard, M_shard, X, fixed
+            )
         return X_new.rot, X_new.sph, X_new.trn, gnorms
 
     spec_A = P(axis)
@@ -515,6 +613,7 @@ def make_parallel_round(pp: ParallelRBCDProblem, cfg: RTRConfig,
         mesh=mesh,
         in_specs=(
             specs_like(B.P), specs_like(B.P_loc), specs_like(B.M),
+            specs_like(TPb),
             spec_A, spec_A, spec_A,
             spec_A, spec_A, spec_A,
             spec_A, spec_A, spec_A,
@@ -526,9 +625,9 @@ def make_parallel_round(pp: ParallelRBCDProblem, cfg: RTRConfig,
     # multi-host the batched problem is a non-addressable global array,
     # which jit cannot embed as a constant.
     @jax.jit
-    def _round(Bp: BatchedProblem, X: RAState):
+    def _round(Bp: BatchedProblem, TP, X: RAState):
         rot, sph, trn, gnorms = round_sharded(
-            Bp.P, Bp.P_loc, Bp.M,
+            Bp.P, Bp.P_loc, Bp.M, TP,
             Bp.fix_pose_src, Bp.fix_trans_src, Bp.fix_sph_src,
             Bp.pub_pose_idx, Bp.pub_lmk_idx, Bp.pub_sph_idx,
             X.rot, X.sph, X.trn,
@@ -536,6 +635,6 @@ def make_parallel_round(pp: ParallelRBCDProblem, cfg: RTRConfig,
         return RAState(rot=rot, sph=sph, trn=trn), gnorms
 
     def round_fn(X: RAState):
-        return _round(B, X)
+        return _round(B, TPb, X)
 
     return round_fn

@@ -145,3 +145,53 @@ def test_parallel_pgo_driver_smoke(data_dir):
     )
     assert gradnorm < 0.5
     assert np.isfinite(cost)
+
+
+def test_parallel_rbcd_tiled_backend(parallel_setup):
+    """backend="tiled" (MXU SpMM block updates): decreases cost like the
+    edge path and does not move a critical point (f64 tiles => exact)."""
+    ds, graphs, states, central, X0 = parallel_setup
+    r = 5
+    pp = build_parallel_problem(graphs, backend="tiled",
+                                tile_dtype=np.float64)
+    assert pp.tiled is not None
+    devices = np.array(jax.devices()[:NUM_AGENTS])
+    mesh = Mesh(devices, ("agents",))
+    cfg = RTRConfig(
+        gradnorm_tol=1e-2, max_inner=50, initial_radius=100.0,
+        single_accepted_step=True,
+    )
+    round_fn = make_parallel_round(pp, cfg, mesh)
+
+    P = central.problem_data()
+    Xb = pack_states(pp, states)
+    costs = []
+    for it in range(15):
+        Xglob = _global_state(pp, unpack_states(pp, Xb), central, r)
+        costs.append(float(prob.cost(P, Xglob)))
+        Xb, gnorms = round_fn(Xb)
+    Xglob = _global_state(pp, unpack_states(pp, Xb), central, r)
+    costs.append(float(prob.cost(P, Xglob)))
+    assert costs[-1] < costs[0] - 1e-6, costs[:3] + costs[-3:]
+    assert costs[-1] <= min(costs[:5])
+
+    # fixed-point consistency: drive the central problem to a critical
+    # point, scatter it into blocks, one tiled round must not move it
+    from dcora_tpu.core.rtr import rtr
+    from dcora_tpu.solvers import make_preconditioner
+
+    M = make_preconditioner(central, P)
+    cfg2 = RTRConfig(gradnorm_tol=1e-8, max_outer=100, max_inner=200)
+    G0 = lifted.zeros(central.dims, r)
+    Xopt = rtr(P, G0, M, X0, cfg2).X
+    n = central.n
+    blocks = []
+    for a in range(NUM_AGENTS):
+        s, e = robot_slice(n, NUM_AGENTS, a)
+        blocks.append(RAState(rot=Xopt.rot[s:e], sph=Xopt.sph[:0],
+                              trn=Xopt.trn[s:e]))
+    Xb = pack_states(pp, blocks)
+    Xb2, gnorms = round_fn(Xb)
+    Xglob2 = _global_state(pp, unpack_states(pp, Xb2), central, r)
+    delta = float((Xglob2 - Xopt).norm())
+    assert delta < 1e-6, delta
