@@ -249,7 +249,16 @@ def run(pyfg_path: str, acceleration: bool = True, num_iters: int = 1000,
             Xcurr = Xopt
             break
         logger.info("saddle at rank %d, theta=%.3e", r, theta)
-        ok, Xnext = escape_saddle(P, Xopt, theta, v, r + 1)
+        # second-order alpha + the reference's escape tolerances
+        # (MultiRobotExample_RASLAM.cpp:503-505 drives escapeSaddle the
+        # same way as the PGO driver: the solver's gradient tolerances and
+        # the second-order alpha of QuadraticProblem.cpp:138-234)
+        ok, Xnext = escape_saddle(
+            P, Xopt, theta, v, r + 1,
+            gradient_tolerance=1e-6,
+            preconditioned_gradient_tolerance=1e-6,
+            is_second_order=True,
+        )
         if not ok:
             Xcurr = Xopt
             break
