@@ -202,6 +202,42 @@ def run_config(name, data_dir):
     return rec
 
 
+_CAPTURED_HEADER = """# BASELINE_CAPTURED — reference-parity evidence
+
+**Why this protocol.** The reference binaries cannot be built in this
+sandbox: their cmake FetchContent pulls ROPTLIB/Spectra/gtest from GitHub
+at configure time (cmake/roptlib.cmake:6, cmake/spectra.cmake:5,
+cmake/gtest.cmake:7) and the system lacks Eigen/SuiteSparse/Boost/glog;
+there is no network egress.  Certifiable optimization supplies a stronger,
+falsifiable substitute for trace-matching: the rank-restricted SDP
+relaxation both codebases solve has a *unique certified global optimum*,
+and both certify against the same dual matrix S = Q - Lambda(X)
+(DCORA_utils.cpp:1898-1982).  Every row below therefore records, for a
+reference flagship config (README.md:20-27, examples/*.cpp):
+
+* the engine's final cost and certification verdict, and
+* an **independent scipy re-verification** (dcora_tpu/verification.py:
+  incidence-matrix Q per Graph.cpp:579-683/:824-1188, numpy tangent
+  projections, ARPACK/LOBPCG min-eig of S) that shares no code with the
+  JAX engine.
+
+A solution that passes the independent certificate check IS the optimum
+the reference computes; matching `f*` across both Q constructions to all
+printed digits rules out cost-convention drift.  Cost convention: the
+multi-robot rows report the reference's printed scale 2*f
+(MultiRobotExample.cpp:280); single-robot rows report f = 0.5<XQ,X>.
+ATE is Umeyama-aligned RMSE vs the dataset's embedded vertex estimates
+(for noisy g2o benchmarks these are initializations, so nonzero ATE there
+reflects the dataset, not suboptimality; the certificate is the
+optimality evidence).
+
+Regenerate with:  python tools/parity.py --summary  (artifacts in
+artifacts/parity/*.json; each was produced by tools/parity.py running the
+full staircase + rounding + independent verification).
+
+"""
+
+
 def summarize():
     rows = []
     for f in sorted(os.listdir(ART)):
@@ -241,7 +277,12 @@ def main():
     args = ap.parse_args()
 
     if args.summary:
-        print(summarize())
+        table = summarize()
+        out = os.path.join(os.path.dirname(__file__), os.pardir,
+                           "BASELINE_CAPTURED.md")
+        with open(out, "w") as fh:
+            fh.write(_CAPTURED_HEADER + table + "\n")
+        print(table)
         return
 
     import jax
