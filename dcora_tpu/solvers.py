@@ -88,61 +88,91 @@ def make_preconditioner(g: LocalGraph, P: prob.ProblemData):
     return prob.build_preconditioner(P, g.n, g.l, g.b, g.d, reg)
 
 
+class TileCache:
+    """Lazily-built per-precision tile forms, reused across staircase ranks
+    (tiles are rank-independent)."""
+
+    def __init__(self, f32=None, f64=None):
+        self.f32 = f32
+        self.f64 = f64
+
+
 def rtr_fast(g: LocalGraph, P: prob.ProblemData, M, X0: RAState,
              cfg: RTRConfig, G: Optional[RAState] = None, TP=None,
              coarse_rel: float = 1e-4):
-    """Mixed-precision RTR: f32 tiled coarse solve + f64 edge-path refine.
+    """Mixed-precision RTR staircase: f32 tiles -> f64 tiles -> f64 edge.
 
-    The coarse phase runs the flat RCM-tiled backend (MXU block-sparse
-    SpMM, f32 native speed -- f64 is emulated ~15x slower on TPU) down to
-    its precision floor (~coarse_rel * initial gradnorm), then the exact
-    f64 residual-form RTR finishes to cfg.gradnorm_tol.  Returns the f64
-    RTRResult; pass TP to reuse tiles across calls (tiles are
-    rank-independent: the staircase reuses one build for every rank).
+    Three phases, each driven to the requested tolerance or its own
+    precision/efficiency floor:
+      1. flat RCM-tiled backend at f32 (MXU native speed);
+      2. the same tiled backend at f64 (emulated, ~4x the f32 cost but
+         still ~4x cheaper per SpMM than the edge path on city10000-class
+         problems) until tolerance or stall -- the assembled Q loses ~6
+         digits to cancellation near optima, so its gradnorm floor sits
+         around 1e-10 * problem scale;
+      3. the exact residual-form f64 edge path finishes to
+         cfg.gradnorm_tol and produces the returned result.
+    Returns (RTRResult, TileCache); pass the cache back in to reuse both
+    tile precisions across calls.
     """
     import jax
 
     from dcora_tpu.core import tiled
     from dcora_tpu.core.manifold import project
-    from dcora_tpu.core.rtr import FLAT_BACKEND, rtr_chunked
+    from dcora_tpu.core.rtr import FLAT_BACKEND, rtr, rtr_chunked
 
     r = X0.r
     r_pad = max(8, -(-r // 8) * 8)
     if TP is None:
-        TP = tiled.build_tiled(P, g.dims, precond=M)
-    Xf0 = tiled.to_flat(TP, X0, r_pad=r_pad).astype(jnp.float32)
-    Gf = None
-    if G is not None:
-        Gf = tiled.to_flat(TP, G, r_pad=r_pad).astype(jnp.float32)
-    del coarse_rel  # kept for API compat; the stall loop below adapts
-    from dcora_tpu.core.rtr import rtr
+        TP = TileCache()
+    elif not isinstance(TP, TileCache):  # bare f32 TiledProblem
+        TP = TileCache(f32=TP)
+    if TP.f32 is None:
+        TP.f32 = tiled.build_tiled(P, g.dims, precond=M)
+    del coarse_rel  # kept for API compat; the stall loops below adapt
 
-    # Coarse phase: drive the f32 path until it reaches the requested
-    # tolerance or stalls at its precision floor (gradnorm stops
-    # improving between chunks).  Chunked device calls throughout: a
-    # single XLA program running for minutes trips RPC watchdogs on
-    # tunneled single-chip setups and kills the TPU worker mid-solve.
-    cfg32 = dataclasses.replace(cfg, gradnorm_tol=max(cfg.gradnorm_tol,
-                                                      1e-30))
-    chunk = 25
-    cfg32_c = dataclasses.replace(cfg32, max_outer=chunk)
-    Xf = Xf0
-    total = 0
-    prev_gn = float("inf")
-    while total < cfg.max_outer:
-        res32 = rtr(TP, Gf, None, Xf, cfg32_c, be=FLAT_BACKEND)
-        Xf = res32.X
-        gn = float(res32.gradnorm_final)
-        total += int(res32.outer_iters)
-        if gn < cfg32.gradnorm_tol or int(res32.outer_iters) < chunk:
-            break
-        if gn > 0.7 * prev_gn:
-            break  # f32 floor: <30% improvement over a whole chunk
-        prev_gn = gn
-    X_warm = project(
-        jax.tree.map(lambda a: a.astype(jnp.float64),
-                     tiled.from_flat(TP, Xf, r=r))
-    )
+    def drive_tiled(TPx, X_state, chunk):
+        """Chunked tiled RTR at TPx's dtype until tol or stall.  Chunked
+        device calls throughout: a single XLA program running for minutes
+        trips RPC watchdogs on tunneled single-chip setups and kills the
+        TPU worker mid-solve."""
+        dt = TPx.Q.tiles.dtype
+        Xf = tiled.to_flat(TPx, X_state, r_pad=r_pad).astype(dt)
+        Gf = None
+        if G is not None:
+            Gf = tiled.to_flat(TPx, G, r_pad=r_pad).astype(dt)
+        cfg_t = dataclasses.replace(cfg, gradnorm_tol=max(cfg.gradnorm_tol,
+                                                          1e-30))
+        cfg_c = dataclasses.replace(cfg_t, max_outer=chunk)
+        total = 0
+        prev_gn = float("inf")
+        while total < cfg.max_outer:
+            res_t = rtr(TPx, Gf, None, Xf, cfg_c, be=FLAT_BACKEND)
+            Xf = res_t.X
+            gn = float(res_t.gradnorm_final)
+            total += int(res_t.outer_iters)
+            if gn < cfg_t.gradnorm_tol or int(res_t.outer_iters) < chunk:
+                break
+            if gn > 0.7 * prev_gn:
+                break  # precision floor: <30% improvement over a chunk
+            prev_gn = gn
+        X_out = project(
+            jax.tree.map(lambda a: a.astype(jnp.float64),
+                         tiled.from_flat(TPx, Xf, r=r))
+        )
+        return X_out, (float(res_t.gradnorm_final) if total else
+                       float("inf"))
+
+    # phase 1: f32 coarse
+    X_warm, gn32 = drive_tiled(TP.f32, X0, chunk=25)
+    # phase 2: f64 tiles, only when the f32 phase stalled above tolerance
+    # (small problems/tolerances often finish in phase 1)
+    if gn32 > cfg.gradnorm_tol:
+        if TP.f64 is None:
+            TP.f64 = tiled.build_tiled(P, g.dims, precond=M,
+                                       dtype=np.float64)
+        X_warm, _ = drive_tiled(TP.f64, X_warm, chunk=8)
+    # phase 3: exact residual-form finish
     return rtr_chunked(P, G, M, X_warm, cfg, chunk=4), TP
 
 

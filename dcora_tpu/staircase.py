@@ -129,7 +129,8 @@ def riemannian_staircase(
             save_checkpoint(checkpoint_path, X, r)
 
         is_psd, theta, v = fast_verification(
-            P, X, min_eig_num_tol, num_lanczos, TP=TP
+            P, X, min_eig_num_tol, num_lanczos,
+            TP=(TP.f32 if TP is not None else None),
         )
         if is_psd:
             certified = True
