@@ -191,7 +191,8 @@ def main():
     )
     if jax.process_index() == 0:
         os.makedirs(ART, exist_ok=True)
-        name = args.dataset.replace(".g2o", "").replace("/", "_")
+        name = (args.dataset.replace(".g2o", "").replace("/", "_")
+                + f"_{args.backend}")
         with open(os.path.join(ART, f"scaling_{name}.json"), "w") as fh:
             json.dump(out, fh, indent=1)
         print(json.dumps({k: v for k, v in out.items() if k != "sweep"}))
