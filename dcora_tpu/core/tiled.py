@@ -334,7 +334,16 @@ def build_tiled(P: prob.ProblemData, dims: ProblemDims, T: int = 128,
     import os
 
     if with_pallas is None:
-        with_pallas = os.environ.get("DCORA_PALLAS", "0") == "1"
+        # default: ON for real TPU backends (the grouped symmetric kernel
+        # measured ~1.5x the XLA tile path on v5e, NOTES.md bench history),
+        # OFF on CPU (no Mosaic); DCORA_PALLAS=0/1 overrides.
+        flag = os.environ.get("DCORA_PALLAS")
+        if flag is not None:
+            with_pallas = flag == "1"
+        else:
+            from dcora_tpu.core.pallas_spmm import pallas_available
+
+            with_pallas = pallas_available() and dtype == np.float32
     n, l, b, d = dims.n, dims.l, dims.b, dims.d
     dh = d + 1
     pose_rank, sph_rank, lmk_rank = _rcm_node_order(P, dims)
