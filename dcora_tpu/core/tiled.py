@@ -101,7 +101,7 @@ class TiledMeta:
 
 @functools.partial(
     jax.tree_util.register_dataclass,
-    data_fields=["Q", "pose_inv", "sph_inv", "lmk_inv"],
+    data_fields=["Q", "pose_inv", "sph_inv", "lmk_inv", "diag_inv"],
     meta_fields=["meta"],
 )
 @dataclasses.dataclass(frozen=True)
@@ -118,6 +118,14 @@ class TiledProblem:
     sph_inv: jax.Array       # f[l]
     lmk_inv: jax.Array       # f[b]
     meta: TiledMeta = None
+    # optional tile-granularity block-Jacobi: inverses of the regularized
+    # T x T diagonal tiles of Q (RCM order packs graph neighborhoods into
+    # tiles, so each block captures the coupling of a whole 128-column
+    # window -- far stronger than the per-pose (d+1)-block Jacobi on
+    # range-coupled problems, where the reference leans on a full CHOLMOD
+    # factorization, Graph.cpp:1901-1917).  One batched [nt,T,T] matmul
+    # per application.
+    diag_inv: Optional[jax.Array] = None  # f[nt, T, T]
 
 
 # --------------------------------------------------------------------------
@@ -321,7 +329,8 @@ def build_tiled(P: prob.ProblemData, dims: ProblemDims, T: int = 128,
                 dtype=np.float32,
                 precond: Optional[prob.Preconditioner] = None,
                 reg: float = 0.1,
-                with_pallas: Optional[bool] = None) -> TiledProblem:
+                with_pallas: Optional[bool] = None,
+                tile_precond: bool = False) -> TiledProblem:
     """Host-side: RCM order, tile the scalar Q, invert the Jacobi blocks.
 
     `dtype` selects the tile precision (f32 for the TPU hot path; f64 for
@@ -461,11 +470,22 @@ def build_tiled(P: prob.ProblemData, dims: ProblemDims, T: int = 128,
         if b:
             ld = tail_diag[l:l + b] + reg
             lmk_inv[:] = 1.0 / np.where(ld == 0, 1.0, ld)
+    diag_inv = None
+    if tile_precond:
+        # tile-granularity block-Jacobi: invert the regularized T x T
+        # diagonal tiles (f64 inversion, stored at the tile dtype).
+        # Padding rows >= k get reg on the diagonal, keeping blocks SPD.
+        diag_blocks = np.zeros((nt, T, T))
+        on_diag = trow == tcol
+        diag_blocks[trow[on_diag]] = dense[on_diag]
+        diag_blocks += reg * np.eye(T)
+        diag_inv = jnp.asarray(np.linalg.inv(diag_blocks).astype(dtype))
     return TiledProblem(
         Q=Q, meta=meta,
         pose_inv=pose_inv,
         sph_inv=jnp.asarray(sph_inv.astype(dtype)),
         lmk_inv=jnp.asarray(lmk_inv.astype(dtype)),
+        diag_inv=diag_inv,
     )
 
 
@@ -633,12 +653,25 @@ def weingarten_apply(meta: TiledMeta, eta: jax.Array, aux) -> jax.Array:
                       jnp.zeros_like(Et))
 
 
+def _precondition_tiles(TP: TiledProblem, Vf: jax.Array) -> jax.Array:
+    """Tile-granularity block-Jacobi: one batched [nt, T, T] solve."""
+    meta = TP.meta
+    r_pad = Vf.shape[0]
+    V3 = Vf.reshape(r_pad, meta.nt, meta.T)
+    inv = TP.diag_inv.astype(Vf.dtype)
+    W = jnp.einsum("rct,cts->rcs", V3, inv)
+    return W.reshape(r_pad, meta.kpad)
+
+
 def precondition_flat(TP: TiledProblem, Vf: jax.Array) -> jax.Array:
     """Block-Jacobi solve in flat layout (cf. prob.apply_preconditioner).
 
-    TP.pose_inv is stored planar [dh, dh, n] so the application is dh^2
-    lane-parallel multiply-adds.
+    With TP.diag_inv present the solve runs at tile granularity;
+    otherwise TP.pose_inv is stored planar [dh, dh, n] so the application
+    is dh^2 lane-parallel multiply-adds.
     """
+    if TP.diag_inv is not None:
+        return _precondition_tiles(TP, Vf)
     meta = TP.meta
     dh = meta.dh
     Vc = _planar_cols(meta, Vf)
@@ -767,6 +800,11 @@ def weingarten_apply_planar(meta: TiledMeta, eta: Planar, aux) -> Planar:
 
 def precondition_planar(TP: TiledProblem, Vp: Planar) -> Planar:
     meta = TP.meta
+    if TP.diag_inv is not None:
+        # tile solve needs the interleaved layout: 2 relayouts per apply
+        # (once per tCG iteration) buy the much stronger preconditioner
+        return to_planar(meta, _precondition_tiles(TP, from_planar(meta,
+                                                                   Vp)))
     dh = meta.dh
     inv = TP.pose_inv.astype(Vp.pose[0].dtype)
     out = []

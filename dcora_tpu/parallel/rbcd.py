@@ -366,7 +366,7 @@ def _build_tiled_batched(P_loc_batched: ProblemData, n_max: int, l_max: int,
         P_a = jax.tree.map(lambda x: x[a], P_loc_batched)
         per_agent.append(tiled.build_tiled(
             P_a, dims, T=tile_T, dtype=tile_dtype, reg=float(regs[a]),
-            with_pallas=False,
+            with_pallas=False, tile_precond=l_max > 0,
         ))
     m_max = max(int(tp.Q.tiles.shape[0]) for tp in per_agent)
 

@@ -51,19 +51,23 @@ def build_pgo_graph(measurements: List[RelativePosePoseMeasurement],
     return g
 
 
-def make_preconditioner(g: LocalGraph, P: prob.ProblemData):
+def precond_reg(g: LocalGraph, P: prob.ProblemData) -> float:
     """Reference regularization rule: 1e-1 for PGO, lambda_max/(1e6-1) for
-    RA-SLAM (Graph.cpp:1901-1960).
+    RA-SLAM (Graph.cpp:1901-1960)."""
+    if g.is_pgo_compatible():
+        return 1e-1
+    probe = lifted.zeros(g.dims, 1)
+    lam = prob.power_iteration_lambda_max(P, probe)
+    return float(lam) / (1e6 - 1.0)
+
+
+def make_preconditioner(g: LocalGraph, P: prob.ProblemData):
+    """Factored block-Jacobi preconditioner of the local Q.
 
     Uses the native (C++) block assembly when available -- this is a
     host-side graph-builder step, called on every data-matrix refresh in
     the RBCD loop; falls back to the jnp implementation otherwise."""
-    if g.is_pgo_compatible():
-        reg = 1e-1
-    else:
-        probe = lifted.zeros(g.dims, 1)
-        lam = prob.power_iteration_lambda_max(P, probe)
-        reg = float(lam) / (1e6 - 1.0)
+    reg = precond_reg(g, P)
 
     from dcora_tpu import native
 
@@ -127,8 +131,16 @@ def rtr_fast(g: LocalGraph, P: prob.ProblemData, M, X0: RAState,
         TP = TileCache()
     elif not isinstance(TP, TileCache):  # bare f32 TiledProblem
         TP = TileCache(f32=TP)
+    # RA problems (unit spheres present) get the tile-granularity
+    # block-Jacobi: on range-coupled Q the per-pose Jacobi leaves tCG
+    # badly conditioned (single_drone rank-3: 49 outers to 1e-4 with tile
+    # blocks vs stalled at 5.8e-2 after 60 without); on PGO both behave
+    # identically, so the cheaper per-pose path stays.
+    tile_pc = g.l > 0
+    reg = precond_reg(g, P) if tile_pc else 0.1
     if TP.f32 is None:
-        TP.f32 = tiled.build_tiled(P, g.dims, precond=M)
+        TP.f32 = tiled.build_tiled(P, g.dims, precond=M, reg=reg,
+                                   tile_precond=tile_pc)
     del coarse_rel  # kept for API compat; the stall loops below adapt
 
     def drive_tiled(TPx, X_state, chunk):
@@ -169,8 +181,9 @@ def rtr_fast(g: LocalGraph, P: prob.ProblemData, M, X0: RAState,
     # (small problems/tolerances often finish in phase 1)
     if gn32 > cfg.gradnorm_tol:
         if TP.f64 is None:
-            TP.f64 = tiled.build_tiled(P, g.dims, precond=M,
-                                       dtype=np.float64)
+            TP.f64 = tiled.build_tiled(P, g.dims, precond=M, reg=reg,
+                                       dtype=np.float64,
+                                       tile_precond=tile_pc)
         X_warm, _ = drive_tiled(TP.f64, X_warm, chunk=8)
     # phase 3: exact residual-form finish
     return rtr_chunked(P, G, M, X_warm, cfg, chunk=4), TP
