@@ -289,3 +289,34 @@ def test_rtr_flat_f32_coarse_phase(data_dir):
     res = rtr(P, G, M, X_warm, RTRConfig(gradnorm_tol=1e-8, max_outer=30,
                                          max_inner=100))
     assert float(res.gradnorm_final) < 1e-8
+
+
+def test_tile_precondition_matches_scipy_blockdiag():
+    """diag_inv tile solve == numpy block-diagonal solve of the same
+    regularized diagonal tiles of the scalar flat Q."""
+    rng = np.random.default_rng(11)
+    g = _random_ra_graph(rng, n=9, l=5, b=4)
+    P = g.problem_data()
+    reg = 0.37
+    T = 32
+    TP = tiled.build_tiled(P, g.dims, T=T, dtype=np.float64, reg=reg,
+                           tile_precond=True)
+    assert TP.diag_inv is not None
+    meta = TP.meta
+    # scipy oracle: assemble the flat Q from the tile list, take the
+    # regularized diagonal tiles, block-solve
+    k, kpad, nt = meta.k, meta.kpad, meta.nt
+    dense = np.asarray(TP.Q.tiles)
+    tr = np.asarray(TP.Q.tile_rows)
+    tc = np.asarray(TP.Q.tile_cols)
+    rng = np.random.default_rng(3)
+    V = rng.standard_normal((8, kpad))
+    out = np.zeros_like(V)
+    for c in range(nt):
+        sel = (tr == c) & (tc == c)
+        B = dense[sel].sum(axis=0) + reg * np.eye(T)
+        out[:, c * T:(c + 1) * T] = np.linalg.solve(
+            B.T, V[:, c * T:(c + 1) * T].T
+        ).T
+    W = np.asarray(tiled.precondition_flat(TP, jnp.asarray(V)))
+    np.testing.assert_allclose(W, out, rtol=1e-10, atol=1e-12)
