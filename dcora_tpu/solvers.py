@@ -147,8 +147,17 @@ def rtr_fast(g: LocalGraph, P: prob.ProblemData, M, X0: RAState,
         """Chunked tiled RTR at TPx's dtype until tol or stall.  Chunked
         device calls throughout: a single XLA program running for minutes
         trips RPC watchdogs on tunneled single-chip setups and kills the
-        TPU worker mid-solve."""
+        TPU worker mid-solve.  The chunk is capped so one device call
+        stays ~10 s by a bandwidth estimate: (chunk outers) x
+        (max_inner+3 SpMMs) x (tile bytes) / effective-BW (f64 tiles are
+        emulated, so their effective rate is far lower).  tiers.pyfg
+        (9736 tiles, 1.28 GB at f64) crashed the worker with a fixed
+        chunk=8."""
         dt = TPx.Q.tiles.dtype
+        tile_bytes = (TPx.Q.tiles.size * TPx.Q.tiles.dtype.itemsize)
+        bw = 300e9 if dt == jnp.float32 else 40e9
+        per_outer_s = (cfg.max_inner + 3) * tile_bytes / bw
+        chunk = max(1, min(chunk, int(10.0 / max(per_outer_s, 1e-9))))
         Xf = tiled.to_flat(TPx, X_state, r_pad=r_pad).astype(dt)
         Gf = None
         if G is not None:

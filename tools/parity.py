@@ -58,6 +58,14 @@ CONFIGS = {
     "tiers": dict(kind="ra", file="tiers.pyfg", r_max=20, eta=1e-4),
     "multi_robot_smallGrid3D": dict(kind="dc2pgo", file="smallGrid3D.g2o",
                                     robots=5, r_min=5, r_max=10, eta=1e-3),
+    # multi-robot DCORA (2 robots A/B in the file) — the distributed RA
+    # path of MultiRobotExample_RASLAM.cpp
+    # tol: the dual-certificate error scales with the RBCD gradnorm, so
+    # the noiseless test set needs a tighter stop than the demo's 0.1 for
+    # certification at eta=1e-3 to be reachable
+    "multi_robot_ra_test_3d": dict(kind="dcora",
+                                   file="range_aided_slam_test_3d.pyfg",
+                                   r_max=10, eta=1e-3, tol=1e-4),
 }
 
 
@@ -172,6 +180,34 @@ def run_dc2pgo(path, cfg):
     )
 
 
+def run_dcora(path, cfg):
+    import numpy as np
+
+    from dcora_tpu.drivers.multi_robot_raslam import run as run_mr_ra
+    from dcora_tpu.io.remap import get_global_measurements
+    from dcora_tpu.io import read_pyfg_file
+
+    t0 = time.time()
+    res = run_mr_ra(path, r_max=cfg["r_max"],
+                    min_eig_num_tol=cfg["eta"],
+                    rgrad_norm_tol=cfg.get("tol", 0.1))
+    elapsed = time.time() - t0
+    ds = read_pyfg_file(path)
+    gm = get_global_measurements(ds)
+    return dict(
+        measurements=gm.relative_measurements, X=res.X, d=ds.dim,
+        result=dict(
+            certified=bool(res.certified), final_rank=int(res.final_rank),
+            f_final=(res.cost_trace[-1] if res.cost_trace else None),
+            total_iters=int(res.total_iters), elapsed_s=elapsed,
+            gradnorm_final=(res.gradnorm_trace[-1]
+                            if res.gradnorm_trace else None),
+        ),
+        T_est=None, T_gt=None,
+        cost_trace=res.cost_trace, gradnorm_trace=res.gradnorm_trace,
+    )
+
+
 def run_config(name, data_dir):
     cfg = CONFIGS[name]
     path = os.path.join(data_dir, cfg["file"])
@@ -181,6 +217,8 @@ def run_config(name, data_dir):
         out = run_pgo(path, cfg)
     elif cfg["kind"] == "ra":
         out = run_ra(path, cfg)
+    elif cfg["kind"] == "dcora":
+        out = run_dcora(path, cfg)
     else:
         out = run_dc2pgo(path, cfg)
 
