@@ -109,10 +109,25 @@ def generate_grid_g2o(
     edges = []
     for i in range(n - 1):
         edges.append((i, i + 1))
-    dists = np.linalg.norm(pts[:, None, :] - pts[None, :, :], axis=-1)
+    # loop-closure candidates via integer-grid offsets: poses sit on grid
+    # points, so every pair within loop_radius differs by one of a bounded
+    # set of integer offsets -- O(n * #offsets) instead of the previous
+    # [n, n] distance matrix (212 GiB at the g2o100k scale)
+    import itertools
+
+    ipts = np.rint(pts).astype(np.int64)
+    idx_of = {tuple(p): i for i, p in enumerate(ipts)}
+    Rmax = int(np.floor(loop_radius))
+    offsets = [
+        o for o in itertools.product(range(-Rmax, Rmax + 1), repeat=3)
+        if o != (0, 0, 0) and np.linalg.norm(o) <= loop_radius
+    ]
     for i in range(n):
-        for j in range(i + 2, n):
-            if dists[i, j] <= loop_radius and rng.uniform() < loop_prob:
+        base = ipts[i]
+        for off in offsets:
+            j = idx_of.get((base[0] + off[0], base[1] + off[1],
+                            base[2] + off[2]))
+            if j is not None and j > i + 1 and rng.uniform() < loop_prob:
                 edges.append((i, j))
 
     lines = []
