@@ -173,8 +173,7 @@ def minimum_eigen_pair(P: ProblemData, C: Certificate, dims: ProblemDims,
     # -4.7e-3 eigenvalue and falsely certified).  Each restart seeds the
     # next sweep with the current Ritz vector, so the estimate decreases
     # monotonically; stop after two consecutive stagnant sweeps.
-    lam_best = None
-    y_s, res_s = None, 0.0
+    lam_best, y_best, res_best = None, None, 0.0
     stagnant = 0
     for _ in range(40):
         lam_s, y_s, res_s = _lanczos_extreme(
@@ -188,9 +187,12 @@ def minimum_eigen_pair(P: ProblemData, C: Certificate, dims: ProblemDims,
                 break
         else:
             stagnant = 0
-        lam_best = lam_cur if lam_best is None else min(lam_best, lam_cur)
+        # keep (value, vector, residual) as one consistent triple: a sweep
+        # that regresses must not overwrite the vector of the best value
+        if lam_best is None or lam_cur < lam_best:
+            lam_best, y_best, res_best = lam_cur, y_s, res_s
         v0s = jnp.asarray(y_s)
-    return lam_best, np.asarray(y_s), float(res_s)
+    return lam_best, np.asarray(y_best), float(res_best)
 
 
 # --------------------------------------------------------------------------
@@ -341,23 +343,9 @@ def _Q_host(P: ProblemData, dims: ProblemDims):
     return sp.coo_matrix((v, (rows, c)), shape=(k, k)).tocsr()
 
 
-def _min_eig_host(P: ProblemData, C: Certificate, dims: ProblemDims
-                  ) -> Tuple[float, np.ndarray]:
-    """Factorization-grade host check of lambda_min(S).
-
-    Lanczos Ritz values converge to lambda_min FROM ABOVE, so an
-    unconverged device estimate can falsely certify (observed on
-    single_drone.pyfg: spectral spread ~1e6 from range precisions made a
-    -4.7e-3 bottom eigenvalue invisible to 40 restarted 64-step sweeps).
-    The reference avoids this with an exact CHOLMOD factorization
-    (isSparseSymmetricMatrixPSD, DCORA_utils.cpp:1737-1747) and a
-    Spectra shift-invert fallback (:1749-1805).  This is the equivalent:
-    assemble S host-side and resolve the bottom of the spectrum with
-    ARPACK (implicitly-restarted, with locking) on shift*I - S, LOBPCG
-    as fallback, validated by an exact Rayleigh quotient.
-    """
+def _assemble_S_host(P: ProblemData, C: Certificate, dims: ProblemDims):
+    """scipy CSR of S = Q - Lambda(X) (DCORA_utils.cpp:1898-1982)."""
     import scipy.sparse as sp
-    from scipy.sparse.linalg import ArpackNoConvergence, eigsh, lobpcg
 
     k = dims.k
     n, d, l = dims.n, dims.d, dims.l  # noqa: E741
@@ -372,27 +360,123 @@ def _min_eig_host(P: ProblemData, C: Certificate, dims: ProblemDims
     lam_vals = np.concatenate([rot.ravel(), np.asarray(C.sph_diag)])
     Lam = sp.coo_matrix((lam_vals, (lam_rows, lam_cols)),
                         shape=(k, k)).tocsr()
-    S = Q - Lam
+    return Q - Lam
+
+
+def ldl_psd_proof(S) -> Optional[bool]:
+    """Factorization-grade PSD proof of a sparse symmetric matrix.
+
+    The analogue of the reference's CHOLMOD quick-return
+    (isSparseSymmetricMatrixPSD, DCORA_utils.cpp:1737-1747): attempt a
+    symmetric-permuted LDL^T via SuperLU in SymmetricMode with diagonal
+    pivoting forced (diag_pivot_thresh=0).  When the factorization
+    completes with perm_r == perm_c, the permuted matrix B = P S P^T
+    satisfies B = L*U with unit-lower L, and symmetry + LDU uniqueness
+    give U = diag(U) L^T, i.e. an LDL^T congruence — so by Sylvester's
+    law the signs of diag(U) are the inertia of S.
+
+    Returns True (all pivots decisively positive: S is PD), False (a
+    decisively negative pivot: S has a negative eigenvalue), or None
+    (inconclusive: pivoting deviated from the symmetric pattern, a pivot
+    was too close to zero to trust, or the factorization failed).
+    """
+    from scipy.sparse.linalg import splu
+
+    try:
+        lu = splu(S.tocsc(), diag_pivot_thresh=0.0,
+                  permc_spec="MMD_AT_PLUS_A",
+                  options=dict(SymmetricMode=True))
+    except (RuntimeError, ValueError, MemoryError):
+        return None
+    if not np.array_equal(lu.perm_r, lu.perm_c):
+        return None  # off-diagonal pivoting: congruence argument void
+    diag = lu.U.diagonal()
+    scale = float(np.abs(diag).max()) if diag.size else 0.0
+    tiny = 1e-12 * max(scale, 1.0)
+    if float(diag.min()) > tiny:
+        return True
+    if float(diag.min()) < -tiny:
+        return False
+    return None
+
+
+def _min_eig_host(P: ProblemData, C: Certificate, dims: ProblemDims,
+                  eta: float = 0.0
+                  ) -> Tuple[bool, float, Optional[np.ndarray]]:
+    """Fail-closed host check of lambda_min(S) >= -eta.
+
+    Returns (certified, rayleigh, v). Lanczos Ritz values converge to
+    lambda_min FROM ABOVE, so an unconverged device estimate can falsely
+    certify (observed on single_drone.pyfg: spectral spread ~1e6 from
+    range precisions made a -4.7e-3 bottom eigenvalue invisible to 40
+    restarted 64-step sweeps).  The reference avoids this with an exact
+    CHOLMOD factorization (isSparseSymmetricMatrixPSD,
+    DCORA_utils.cpp:1737-1747) and a Spectra shift-invert fallback
+    (:1749-1805).  This mirrors that structure:
+
+      1. LDL^T proof of S + eta*I (ldl_psd_proof) — an actual
+         factorization witness, also the cheap path at large k;
+      2. otherwise ARPACK on shift*I - S with an explicit eigenpair
+         residual check, LOBPCG fallback (also residual-checked);
+      3. **fail closed**: if no solver produced a converged extreme
+         eigenpair and no factorization succeeded, return not-certified
+         (never certify from an unconverged vector — its Rayleigh
+         quotient only upper-bounds lambda_min).
+
+    A negative Rayleigh quotient below -eta remains a sound
+    indefiniteness proof regardless of convergence (theta >= lambda_min).
+    """
+    import scipy.sparse as sp
+    from scipy.sparse.linalg import ArpackNoConvergence, eigsh, lobpcg
+
+    k = dims.k
+    S = _assemble_S_host(P, C, dims)
+
+    if eta > 0:
+        proof = ldl_psd_proof(S + eta * sp.identity(k, format="csr"))
+        if proof is True:
+            return True, 0.0, None
+        # proof False/None: resolve the actual bottom eigenpair below
 
     lam_max = float(eigsh(S, k=1, which="LA", return_eigenvectors=False,
                           tol=1e-4, ncv=min(k, 50))[0])
     shift = 1.01 * max(lam_max, 1e-6)
     B = (shift * sp.identity(k, format="csr") - S).tocsr()
     rng = np.random.default_rng(0)
-    try:
-        _, vecs = eigsh(B, k=1, which="LA", tol=1e-7,
-                        ncv=min(k, 96), maxiter=40 * k,
-                        v0=rng.standard_normal(k))
-        v = vecs[:, 0]
-    except ArpackNoConvergence as e:
-        if len(e.eigenvectors) and e.eigenvectors.shape[1]:
-            v = e.eigenvectors[:, -1]
-        else:
-            Xb = rng.standard_normal((k, 4))
-            w, Vb = lobpcg(B, Xb, tol=1e-6, maxiter=2000, largest=True)
-            v = Vb[:, int(np.argmax(w))]
+    v, converged = None, False
+    for ncv in (min(k, 96), min(k, 256)):
+        try:
+            _, vecs = eigsh(B, k=1, which="LA", tol=1e-7,
+                            ncv=ncv, maxiter=40 * k,
+                            v0=rng.standard_normal(k))
+            v, converged = vecs[:, 0], True
+            break
+        except ArpackNoConvergence as e:
+            if len(e.eigenvectors) and e.eigenvectors.shape[1]:
+                v = e.eigenvectors[:, -1]  # kept only as a candidate
+    if not converged:
+        Xb = rng.standard_normal((k, min(k, 8)))
+        if v is not None:
+            Xb[:, 0] = v
+        w, Vb = lobpcg(B, Xb, tol=1e-7, maxiter=2000, largest=True)
+        v = Vb[:, int(np.argmax(w))]
     v = v / np.linalg.norm(v)
-    return float(v @ (S @ v)), v
+    Sv = S @ v
+    theta = float(v @ Sv)
+    resid = float(np.linalg.norm(Sv - theta * v))
+    if theta + eta < 0:
+        return False, theta, v  # sound: theta >= lambda_min
+    # accept a PSD verdict only from a converged extreme eigenpair
+    res_ok = resid <= max(1e-8 * max(abs(lam_max), 1.0), 1e-12)
+    if converged or res_ok:
+        return theta + eta >= 0, theta, v
+    import logging
+
+    logging.getLogger(__name__).warning(
+        "PSD check inconclusive (resid=%.3e, theta=%.3e): failing closed",
+        resid, theta,
+    )
+    return False, theta, v
 
 
 def fast_verification(P: ProblemData, X: RAState, eta: float,
@@ -434,10 +518,10 @@ def fast_verification(P: ProblemData, X: RAState, eta: float,
         if theta + eta < 0:
             return False, theta, v
     # device Lanczos believes lam_min(S) >= -eta: confirm on host
-    lam_host, v_host = _min_eig_host(P, C, dims)
-    if lam_host + eta >= 0:
+    certified, lam_host, v_host = _min_eig_host(P, C, dims, eta)
+    if certified:
         return True, 0.0, None
-    return False, lam_host, v_host
+    return False, lam_host, v_host if v_host is not None else v
 
 
 # --------------------------------------------------------------------------

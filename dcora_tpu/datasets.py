@@ -117,6 +117,13 @@ def generate_grid_g2o(
 
     ipts = np.rint(pts).astype(np.int64)
     idx_of = {tuple(p): i for i, p in enumerate(ipts)}
+    # the offset-bucket search assumes one pose per grid point (true for
+    # the boustrophedon path); a revisiting trajectory would silently
+    # drop candidate pairs, so make the assumption explicit.
+    # NOTE: this O(n) search draws rng.uniform() in a different order than
+    # the earlier O(n^2) scan, so identical seeds generate different
+    # datasets than pre-round-2 artifacts recorded.
+    assert len(idx_of) == n, "grid generator requires unique grid points"
     Rmax = int(np.floor(loop_radius))
     offsets = [
         o for o in itertools.product(range(-Rmax, Rmax + 1), repeat=3)

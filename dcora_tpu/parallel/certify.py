@@ -195,7 +195,7 @@ def minimum_eigen_pair_sharded(
     # restarted sweeps (see core.certify.minimum_eigen_pair: Ritz values
     # approach lambda_min from above; a single sweep can miss a clustered
     # bottom eigenvalue and falsely certify)
-    lam_best, y_s, res_s = None, None, 0.0
+    lam_best, y_best, res_best = None, None, 0.0
     stagnant = 0
     for _ in range(40):
         lam_s, y_s, res_s = lanczos(-2.0 * lam_lm, v0s, m=m)
@@ -207,9 +207,12 @@ def minimum_eigen_pair_sharded(
                 break
         else:
             stagnant = 0
-        lam_best = lam_cur if lam_best is None else min(lam_best, lam_cur)
+        # keep (value, vector, residual) consistent (a regressed sweep
+        # must not overwrite the vector of the best value)
+        if lam_best is None or lam_cur < lam_best:
+            lam_best, y_best, res_best = lam_cur, y_s, res_s
         v0s = jnp.asarray(y_s)
-    return lam_best, np.asarray(y_s), float(res_s)
+    return lam_best, np.asarray(y_best), float(res_best)
 
 
 def fast_verification_sharded(P_in: ProblemData, X: RAState, eta: float,
@@ -237,7 +240,7 @@ def fast_verification_sharded(P_in: ProblemData, X: RAState, eta: float,
     # per staircase, so the host confirmation amortizes.
     from dcora_tpu.core.certify import _min_eig_host
 
-    lam_host, v_host = _min_eig_host(P_in, C, dims)
-    if lam_host + eta >= 0:
+    certified, lam_host, v_host = _min_eig_host(P_in, C, dims, eta)
+    if certified:
         return True, 0.0, None
-    return False, lam_host, v_host
+    return False, lam_host, v_host if v_host is not None else np.asarray(v)

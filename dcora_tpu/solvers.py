@@ -166,11 +166,11 @@ def rtr_fast(g: LocalGraph, P: prob.ProblemData, M, X0: RAState,
                                                           1e-30))
         cfg_c = dataclasses.replace(cfg_t, max_outer=chunk)
         total = 0
-        prev_gn = float("inf")
+        prev_gn = gn_last = float("inf")
         while total < cfg.max_outer:
             res_t = rtr(TPx, Gf, None, Xf, cfg_c, be=FLAT_BACKEND)
             Xf = res_t.X
-            gn = float(res_t.gradnorm_final)
+            gn = gn_last = float(res_t.gradnorm_final)
             total += int(res_t.outer_iters)
             if gn < cfg_t.gradnorm_tol or int(res_t.outer_iters) < chunk:
                 break
@@ -181,8 +181,11 @@ def rtr_fast(g: LocalGraph, P: prob.ProblemData, M, X0: RAState,
             jax.tree.map(lambda a: a.astype(jnp.float64),
                          tiled.from_flat(TPx, Xf, r=r))
         )
-        return X_out, (float(res_t.gradnorm_final) if total else
-                       float("inf"))
+        # gn_last stays inf when the loop never produced a result
+        # (max_outer <= 0) AND when an immediately-converged first chunk
+        # reported outer_iters == 0 — in that case the recorded gradnorm
+        # is still meaningful, so prefer it
+        return X_out, gn_last
 
     # phase 1: f32 coarse
     X_warm, gn32 = drive_tiled(TP.f32, X0, chunk=25)

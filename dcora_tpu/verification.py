@@ -147,13 +147,11 @@ def riemannian_gradnorm(Q: sp.csr_matrix, Xf: np.ndarray, n: int,
     return float(np.linalg.norm(G))
 
 
-def certificate_min_eig(Q: sp.csr_matrix, Xf: np.ndarray, n: int,
-                        l: int, d: int,
-                        tol: float = 0.0) -> float:  # noqa: E741
-    """lambda_min(S), S = Q - Lambda(X): Lambda has sym(Y_i^T (XQ)_i)
-    blocks on the Stiefel diagonal and <s_q, (XQ)_q> on the oblique
-    diagonal (DCORA_utils.cpp:1898-1982), assembled here from X and Q
-    directly and solved with scipy Lanczos (eigsh)."""
+def certificate_matrix(Q: sp.csr_matrix, Xf: np.ndarray, n: int,
+                       l: int, d: int) -> sp.csc_matrix:  # noqa: E741
+    """S = Q - Lambda(X): Lambda has sym(Y_i^T (XQ)_i) blocks on the
+    Stiefel diagonal and <s_q, (XQ)_q> on the oblique diagonal
+    (DCORA_utils.cpp:1898-1982), assembled from X and Q directly."""
     E = Xf @ Q
     blocks = []
     rows, cols, vals = [], [], []
@@ -171,7 +169,22 @@ def certificate_min_eig(Q: sp.csr_matrix, Xf: np.ndarray, n: int,
         vals.append(lam)
     k_dim = Q.shape[0]
     Lambda = sp.csr_matrix((vals, (rows, cols)), shape=(k_dim, k_dim))
-    S = (Q - Lambda).tocsc()
+    return (Q - Lambda).tocsc()
+
+
+def certificate_min_eig(Q: sp.csr_matrix, Xf: np.ndarray, n: int,
+                        l: int, d: int,
+                        tol: float = 0.0):  # noqa: E741
+    """(theta, resid) for the bottom of spec(S), S = Q - Lambda(X).
+
+    theta is the exact Rayleigh quotient v^T S v of the estimated minimum
+    eigenvector (an UPPER bound on lambda_min); resid = ||S v - theta v||
+    quantifies how converged the estimate is.  Callers must treat a large
+    resid as verification failure rather than trusting theta (an
+    unconverged v over-estimates lambda_min and can pass 'certified'
+    spuriously in clustered-spectrum regimes)."""
+    S = certificate_matrix(Q, Xf, n, l, d)
+    k_dim = S.shape[0]
 
     # Spectrum-shifted Lanczos (the SE-Sync strategy the reference uses,
     # DCORA_utils.cpp:1807-1896): ask for the largest-magnitude eigenvalue
@@ -203,7 +216,22 @@ def certificate_min_eig(Q: sp.csr_matrix, Xf: np.ndarray, n: int,
             w, Vb = lobpcg(B, Xb, tol=1e-6, maxiter=2000, largest=True)
             v = Vb[:, int(np.argmax(w))]
     v = v / np.linalg.norm(v)
-    return float(v @ (S @ v))  # exact Rayleigh quotient of the estimate
+    Sv = S @ v
+    theta = float(v @ Sv)  # exact Rayleigh quotient of the estimate
+    resid = float(np.linalg.norm(Sv - theta * v))
+    return theta, resid
+
+
+def certificate_psd_proof(Q: sp.csr_matrix, Xf: np.ndarray, n: int,
+                          l: int, d: int, eta: float):  # noqa: E741
+    """Factorization witness that S + eta*I is PSD (independent scipy
+    LDL^T via SuperLU SymmetricMode — see core.certify.ldl_psd_proof for
+    the congruence argument; the analogue of the reference's CHOLMOD
+    quick-return, DCORA_utils.cpp:1737-1747). True/False/None."""
+    from dcora_tpu.core.certify import ldl_psd_proof
+
+    S = certificate_matrix(Q, Xf, n, l, d)
+    return ldl_psd_proof(S + eta * sp.identity(S.shape[0], format="csc"))
 
 
 def verify_solution(measurements, X, d: int,
@@ -223,7 +251,17 @@ def verify_solution(measurements, X, d: int,
     Xf = np.asarray(lifted.to_flat(X), dtype=np.float64)
     f = 0.5 * float(np.sum((Xf @ Q) * Xf))
     gradnorm = riemannian_gradnorm(Q, Xf, n, l, d)
-    min_eig = certificate_min_eig(Q, Xf, n, l, d)
+    min_eig, min_eig_resid = certificate_min_eig(Q, Xf, n, l, d)
+    # certified = a converged eigenpair says lambda_min >= -eta, OR an
+    # actual LDL^T factorization of S + eta*I succeeds (fail-closed: an
+    # unconverged Rayleigh quotient alone never certifies)
+    resid_ok = min_eig_resid <= max(1e-8 * max(abs(min_eig), 1.0), 1e-12)
+    certified = bool(min_eig >= -eta) and resid_ok
+    psd_proof = None
+    if not certified:
+        psd_proof = certificate_psd_proof(Q, Xf, n, l, d, eta)
+        if psd_proof is True:
+            certified = True
 
     # manifold feasibility, independently: ||Y^T Y - I|| and |1 - ||s|||
     feas = 0.0
@@ -238,7 +276,9 @@ def verify_solution(measurements, X, d: int,
         "f_indep": f,
         "gradnorm_indep": gradnorm,
         "min_eig_indep": min_eig,
-        "certified_indep": bool(min_eig >= -eta),
+        "min_eig_resid_indep": min_eig_resid,
+        "psd_proof_indep": psd_proof,
+        "certified_indep": certified,
         "manifold_err": feas,
     }
 
