@@ -49,6 +49,29 @@ CONFIGS = {
                     eta=1e-3),
     "city10000": dict(kind="pgo", file="city10000.g2o", r_min=5, r_max=12,
                       eta=1e-3),
+    # 2D PGO benchmarks (EDGE_SE2; same staircase, d=2)
+    "CSAIL": dict(kind="pgo", file="CSAIL.g2o", r_min=5, r_max=12,
+                  eta=1e-3),
+    "kitti_00": dict(kind="pgo", file="kitti_00.g2o", r_min=5, r_max=12,
+                     eta=1e-3),
+    "input_INTEL": dict(kind="pgo", file="input_INTEL_g2o.g2o", r_min=5,
+                        r_max=12, eta=1e-3),
+    "input_M3500": dict(kind="pgo", file="input_M3500_g2o.g2o", r_min=5,
+                        r_max=12, eta=1e-3),
+    "input_MITb": dict(kind="pgo", file="input_MITb_g2o.g2o", r_min=5,
+                       r_max=12, eta=1e-3),
+    "ais2klinik": dict(kind="pgo", file="ais2klinik.g2o", r_min=5,
+                       r_max=12, eta=1e-3),
+    # 3D PGO benchmarks
+    "sphere_bignoise": dict(kind="pgo", file="sphere_bignoise_vertex3.g2o",
+                            r_min=5, r_max=12, eta=1e-3),
+    "cubicle": dict(kind="pgo", file="cubicle.g2o", r_min=5, r_max=12,
+                    eta=1e-3),
+    # PyFG SE-only test data through the RA driver (l=0 degenerate case)
+    "pyfg_se2_test": dict(kind="ra", file="pyfg_se2_test_data.pyfg",
+                          r_max=20, eta=1e-4),
+    "pyfg_se3_test": dict(kind="ra", file="pyfg_se3_test_data.pyfg",
+                          r_max=20, eta=1e-4),
     "ra_slam_test_3d": dict(kind="ra", file="range_aided_slam_test_3d.pyfg",
                             r_max=20, eta=1e-4),
     "ra_slam_test_2d": dict(kind="ra", file="range_aided_slam_test_2d.pyfg",
