@@ -620,6 +620,88 @@ def build_preconditioner(P: ProblemData, n: int, l: int, b: int,  # noqa: E741
     )
 
 
+def build_preconditioner_host(P: ProblemData, n: int, l: int,  # noqa: E741
+                              b: int, d: int, reg) -> Preconditioner:
+    """Numpy mirror of :func:`build_preconditioner` (same math, same dump
+    slots), run entirely host-side.
+
+    On a tunneled TPU the jnp version pays emulated-f64 scatter-adds and
+    a remote compile per shape; the parallel problem build calls this once
+    per agent on the host COO arrays instead (the reference's analogue is
+    a host CHOLMOD factorization too, Graph.cpp:1901-1960)."""
+    import numpy as np
+
+    dh = d + 1
+    a = np.asarray
+    blocks = np.zeros((n, dh, dh))
+    lmk = np.zeros((b,))
+    sph = np.zeros((l,))
+
+    if P.pp_ri.shape[0] > 0:
+        kw = a(P.pp_kappa) * a(P.pp_w) * a(P.pp_active)
+        tw = a(P.pp_tau) * a(P.pp_w) * a(P.pp_active)
+        t = a(P.pp_t)
+        m = t.shape[0]
+        tail = np.zeros((m, dh, dh))
+        tail[:, :d, :d] = (kw[:, None, None] * np.eye(d)
+                           + tw[:, None, None] * t[:, :, None]
+                           * t[:, None, :])
+        tail[:, :d, d] = tw[:, None] * t
+        tail[:, d, :d] = tw[:, None] * t
+        tail[:, d, d] = tw
+        head = np.zeros((m, dh, dh))
+        head[:, :d, :d] = kw[:, None, None] * np.eye(d)
+        head[:, d, d] = tw
+        contrib = np.concatenate([tail, head])
+        idx = np.concatenate([a(P.pp_ri), a(P.pp_rj)])
+        ok = idx < n
+        np.add.at(blocks, idx[ok], contrib[ok])
+
+    if P.pl_ri.shape[0] > 0:
+        tw = a(P.pl_tau) * a(P.pl_w) * a(P.pl_active)
+        t = a(P.pl_t)
+        m = t.shape[0]
+        tail = np.zeros((m, dh, dh))
+        tail[:, :d, :d] = tw[:, None, None] * t[:, :, None] * t[:, None, :]
+        tail[:, :d, d] = tw[:, None] * t
+        tail[:, d, :d] = tw[:, None] * t
+        tail[:, d, d] = tw
+        ri = a(P.pl_ri)
+        ok = ri < n
+        np.add.at(blocks, ri[ok], tail[ok])
+        jidx = a(P.pl_tj) - n
+        ok = (jidx >= 0) & (jidx < b)
+        np.add.at(lmk, jidx[ok], tw[ok])
+
+    if P.rg_ti.shape[0] > 0:
+        om = a(P.rg_prec) * a(P.rg_w) * a(P.rg_active)
+        q = a(P.rg_q)
+        ok = q < l
+        np.add.at(sph, q[ok], (om * a(P.rg_rho) ** 2)[ok])
+        for tidx in (a(P.rg_ti), a(P.rg_tj)):
+            ok = tidx < n
+            np.add.at(blocks, (tidx[ok], d, d), om[ok])
+            lm = tidx - n
+            ok = (lm >= 0) & (lm < b)
+            np.add.at(lmk, lm[ok], om[ok])
+
+    if P.prior_kdiag is not None:
+        kd = a(P.prior_kdiag)
+        for i in range(d):
+            blocks[:, i, i] += kd
+    if P.prior_tdiag is not None:
+        td = a(P.prior_tdiag)
+        blocks[:, d, d] += td[:n]
+        lmk += td[n:]
+
+    blocks = blocks + reg * np.eye(dh)
+    inv = np.linalg.inv(blocks)
+    return Preconditioner(
+        pose_inv=jnp.asarray(inv), sph_diag=jnp.asarray(sph + reg),
+        lmk_diag=jnp.asarray(lmk + reg),
+    )
+
+
 def apply_preconditioner(M: Preconditioner, V: RAState) -> RAState:
     """Solve the block-diagonal system (reference: QuadraticProblem.cpp:70-84).
 

@@ -312,12 +312,20 @@ def build_parallel_problem(
         )
 
     P_loc_batched = _remap_local(P_batched)
-    regs_arr = jnp.asarray(np.array(regs))
-    M_batched = jax.vmap(
-        lambda Pb, rg: prob.build_preconditioner(
-            Pb, n_loc, l_max, t_loc - n_loc, d, rg
+    # factor the per-agent block-Jacobi on the host (numpy): the vmapped
+    # device build pays emulated-f64 scatter-adds and a remote compile per
+    # shape on tunneled TPUs (~27 s/agent measured on city10000)
+    P_loc_np = jax.tree.map(
+        lambda x: np.asarray(x) if x is not None else None, P_loc_batched
+    )  # one device->host pull per leaf (not per agent)
+    M_list = [
+        prob.build_preconditioner_host(
+            jax.tree.map(lambda x: x[a_], P_loc_np),
+            n_loc, l_max, t_loc - n_loc, d, regs[a_],
         )
-    )(P_loc_batched, regs_arr)
+        for a_ in range(A)
+    ]
+    M_batched = jax.tree.map(lambda *xs: jnp.stack(xs), *M_list)
 
     batched = BatchedProblem(
         P=P_batched,
@@ -335,8 +343,10 @@ def build_parallel_problem(
     )
     tiled_batched = None
     if backend == "tiled":
+        # numpy leaves: build_tiled is a host-side construction; feeding
+        # it device arrays costs one device->host pull per leaf per agent
         tiled_batched = _build_tiled_batched(
-            P_loc_batched, n_max, l_max, b_max, d, regs, tile_dtype, tile_T
+            P_loc_np, n_max, l_max, b_max, d, regs, tile_dtype, tile_T
         )
     return ParallelRBCDProblem(
         batched=batched, n_max=n_max, l_max=l_max, b_max=b_max,
