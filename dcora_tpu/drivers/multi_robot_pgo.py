@@ -129,6 +129,10 @@ class MultiRobotResult:
     elapsed_s: float
     # final GNC weights of non-fixed edges, keyed by global (p1, p2)
     weights: Optional[Dict[tuple, float]] = None
+    # certificate diagnostics: the last min-eig estimate and the
+    # gradnorm-dependent slack it was judged against (see adaptive stop)
+    final_theta: Optional[float] = None
+    cert_slack: Optional[float] = None
 
 
 def run(num_robots: int, g2o_path: str, acceleration: bool = True,
@@ -139,14 +143,27 @@ def run(num_robots: int, g2o_path: str, acceleration: bool = True,
         log_directory: str = "",
         checkpoint_path: str = "",
         robust_cost_params: Optional[RobustCostParameters] = None,
-        robust_weight_updates: int = 3) -> MultiRobotResult:
+        robust_weight_updates: int = 3,
+        adaptive_stop: bool = True,
+        cert_slack_c: float = 1.0) -> MultiRobotResult:
     """When ``robust_cost_params`` selects a non-L2 cost, the distributed
     GNC pipeline runs: agents track team statuses, trigger
     ``update_measurement_weights`` via ``should_update_measurement_weights``
     (reference: Agent.cpp:1280-1454 — in-repo the reference never drives
     this either; its caller is the ROS layer), and the central stopping
     test only fires after every agent has exhausted its weight-update
-    budget."""
+    budget.
+
+    Adaptive certificate stop (``adaptive_stop``): the dual certificate
+    S = Q - Lambda(X) is exact only at a critical point — at an RBCD stop
+    with Riemannian gradient norm g the assembled Lambda is perturbed by
+    O(g), so lambda_min(S) carries an O(g) error (this is why the demo's
+    tol 0.1 can leave certification at eta=1e-3 unreachable, and why
+    round-2 rows certified only by margin).  When certification fails
+    with |theta| inside the slack ``cert_slack_c * g`` AND the RBCD loop
+    reached its tolerance, the verdict is inconclusive rather than a
+    saddle: tighten the stop to g/10 and keep iterating at the same rank
+    (bounded tightenings) instead of escaping."""
     t_start = time.time()
     ds = read_g2o_file(g2o_path)
     measurements = ds.pose_pose_measurements
@@ -180,6 +197,10 @@ def run(num_robots: int, g2o_path: str, acceleration: bool = True,
     certified = False
     r = r_min
     trajectories: Dict[int, np.ndarray] = {}
+    tol_eff = rgrad_norm_tol
+    tightenings = 0
+    final_theta: Optional[float] = None
+    cert_slack: Optional[float] = None
 
     # robot id of every pose (for greedy block-gradient norms)
     pose_block_ids = jnp.asarray(
@@ -238,6 +259,7 @@ def run(num_robots: int, g2o_path: str, acceleration: bool = True,
 
         Xopt = Xcurr
         selected = 0
+        gradnorm = float("inf")
         for it in range(num_iters):
             sel = agents[selected]
             for a in agents:
@@ -312,7 +334,7 @@ def run(num_robots: int, g2o_path: str, acceleration: bool = True,
                 a.weight_update_count >= a.params.robustOptNumWeightUpdates
                 for a in agents
             )
-            if gradnorm < rgrad_norm_tol and robust_done:
+            if gradnorm < tol_eff and robust_done:
                 break
 
             # greedy selection by block gradient norm (reference: :289-305)
@@ -334,6 +356,22 @@ def run(num_robots: int, g2o_path: str, acceleration: bool = True,
             P, Xopt, min_eig_num_tol,
             num_lanczos=min(64, central.dims.k - 1),
         )
+        final_theta = float(theta)
+        cert_slack = cert_slack_c * gradnorm
+        if not is_psd and adaptive_stop and tightenings < 4 \
+                and gradnorm < tol_eff and theta > -cert_slack:
+            # inconclusive: |theta| within the O(gradnorm) certificate
+            # error — tighten the RBCD stop and continue at this rank
+            # instead of escaping a saddle that may not exist
+            tol_eff = gradnorm / 10.0
+            tightenings += 1
+            logger.info(
+                "rank %d certificate inconclusive (theta=%.3e, slack=%.3e)"
+                ": tightening RBCD tol to %.1e", r, theta, cert_slack,
+                tol_eff,
+            )
+            Xcurr = Xopt
+            continue
         if is_psd:
             certified = True
             anchor = np.asarray(agents[0].get_X().pose(0))
@@ -375,7 +413,7 @@ def run(num_robots: int, g2o_path: str, acceleration: bool = True,
         X=Xcurr, certified=certified, final_rank=r, total_iters=total_iter,
         cost_trace=cost_trace, gradnorm_trace=grad_trace,
         trajectories=trajectories, elapsed_s=time.time() - t_start,
-        weights=weights,
+        weights=weights, final_theta=final_theta, cert_slack=cert_slack,
     )
 
 

@@ -93,6 +93,9 @@ class MultiRobotRAResult:
     gradnorm_trace: List[float]
     trajectories: Dict[int, np.ndarray]
     elapsed_s: float
+    # certificate diagnostics (see multi_robot_pgo adaptive stop)
+    final_theta: float = None
+    cert_slack: float = None
 
 
 def run(pyfg_path: str, acceleration: bool = True, num_iters: int = 1000,
@@ -101,7 +104,13 @@ def run(pyfg_path: str, acceleration: bool = True, num_iters: int = 1000,
         block_selection_rule: BlockSelectionRule = BlockSelectionRule.Greedy,
         init_method: InitializationMethod = InitializationMethod.Odometry,
         rbcd_only: bool = False, verbose: bool = False,
-        seed: int = 0) -> MultiRobotRAResult:
+        seed: int = 0, adaptive_stop: bool = True,
+        cert_slack_c: float = 1.0) -> MultiRobotRAResult:
+    """``adaptive_stop``: when certification fails with |theta| inside
+    the O(gradnorm) certificate error (the dual Lambda(X) is exact only
+    at a critical point), tighten the RBCD stop to gradnorm/10 and keep
+    iterating at the same rank instead of escaping — see the derivation
+    note on multi_robot_pgo.run."""
     t_start = time.time()
     ds = read_pyfg_file(pyfg_path)
     gm = get_global_measurements(ds)
@@ -130,6 +139,10 @@ def run(pyfg_path: str, acceleration: bool = True, num_iters: int = 1000,
     certified = False
     trajectories: Dict[int, np.ndarray] = {}
     r = r_min
+    tol_eff = rgrad_norm_tol
+    tightenings = 0
+    final_theta = None
+    cert_slack = None
 
     while r < r_max:
         central = LocalGraph(0, r, d, GraphType.RangeAidedSLAMGraph)
@@ -164,6 +177,8 @@ def run(pyfg_path: str, acceleration: bool = True, num_iters: int = 1000,
 
         active_ids = [rid for rid in sorted(robot_ids) if rid != MAP_ID]
         selected = active_ids[0]
+        gradnorm = float("inf")
+        Xopt = lifted.pad_rank(Xcurr, r) if Xcurr.r < r else Xcurr
         for _ in range(num_iters):
             sel = agents[selected]
             for rid in sorted(robot_ids):
@@ -208,7 +223,7 @@ def run(pyfg_path: str, acceleration: bool = True, num_iters: int = 1000,
             if verbose or total_iter % 50 == 0:
                 print(f"{total_iter} {selected} {cost:.6f} "
                       f"{gradnorm:.6f}")
-            if gradnorm < rgrad_norm_tol:
+            if gradnorm < tol_eff:
                 break
 
             if sel.get_neighbors():
@@ -243,6 +258,21 @@ def run(pyfg_path: str, acceleration: bool = True, num_iters: int = 1000,
             P, Xopt, min_eig_num_tol,
             num_lanczos=min(64, central.dims.k - 1),
         )
+        final_theta = float(theta)
+        cert_slack = cert_slack_c * gradnorm
+        if not is_psd and adaptive_stop and tightenings < 4 \
+                and gradnorm < tol_eff and theta > -cert_slack:
+            # inconclusive: |theta| within the O(gradnorm) certificate
+            # error — tighten the RBCD stop, continue at this rank
+            tol_eff = gradnorm / 10.0
+            tightenings += 1
+            logger.info(
+                "rank %d certificate inconclusive (theta=%.3e, "
+                "slack=%.3e): tightening RBCD tol to %.1e",
+                r, theta, cert_slack, tol_eff,
+            )
+            Xcurr = Xopt
+            continue
         if is_psd:
             certified = True
             finish()
@@ -270,6 +300,7 @@ def run(pyfg_path: str, acceleration: bool = True, num_iters: int = 1000,
         total_iters=total_iter, cost_trace=cost_trace,
         gradnorm_trace=grad_trace, trajectories=trajectories,
         elapsed_s=time.time() - t_start,
+        final_theta=final_theta, cert_slack=cert_slack,
     )
 
 

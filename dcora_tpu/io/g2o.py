@@ -90,6 +90,10 @@ def read_g2o_file(filename: str) -> G2ODataset:
                 v3.append(rest)
             elif token == "VERTEX_SE2":
                 v2.append(rest)
+            elif token == "FIX":
+                # anchor declaration (g2o convention; e.g. ais2klinik.g2o)
+                # -- the first pose is gauge-fixed downstream, skip
+                continue
             else:
                 raise ValueError(f"unrecognized g2o record type: {token!r}")
 

@@ -68,6 +68,10 @@ static void parse_g2o_into(DcoraG2o &out, const char *path) {
     } else if (tk.is(0, "VERTEX_SE2")) {
       want = 2;
       is_vertex = true;
+    } else if (tk.is(0, "FIX")) {
+      // anchor declaration (g2o convention; e.g. ais2klinik.g2o:2) --
+      // the first pose is gauge-fixed downstream, so skip the record
+      continue;
     } else {
       throw std::runtime_error("unrecognized g2o record type: '" +
                                tk.str(0) + "'");

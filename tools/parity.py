@@ -197,6 +197,7 @@ def run_dc2pgo(path, cfg):
             total_iters=int(res.total_iters), elapsed_s=elapsed,
             gradnorm_final=(res.gradnorm_trace[-1]
                             if res.gradnorm_trace else None),
+            final_theta=res.final_theta, cert_slack=res.cert_slack,
         ),
         T_est=None, T_gt=T_gt,
         cost_trace=res.cost_trace, gradnorm_trace=res.gradnorm_trace,
@@ -225,6 +226,7 @@ def run_dcora(path, cfg):
             total_iters=int(res.total_iters), elapsed_s=elapsed,
             gradnorm_final=(res.gradnorm_trace[-1]
                             if res.gradnorm_trace else None),
+            final_theta=res.final_theta, cert_slack=res.cert_slack,
         ),
         T_est=None, T_gt=None,
         cost_trace=res.cost_trace, gradnorm_trace=res.gradnorm_trace,
