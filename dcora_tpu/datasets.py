@@ -326,6 +326,87 @@ _TEST_SETS = {
 }
 
 
+def write_g2o(path: str, measurements, dim: int) -> str:
+    """Serialize pose-pose measurements back to g2o with isotropic
+    information blocks chosen so the parser round-trips (kappa, tau)
+    exactly (inverse of the io.g2o conversion rules, which mirror
+    DCORA_utils.cpp:179-375):
+
+      3D: I_t = tau*I3 (tau = 3/trace(inv(I_t))),
+          I_R = 2*kappa*I3 (kappa = 3/(2*trace(inv(I_R))))
+      2D: I_t = tau*I2 (tau = 2/trace(inv(I_t))), I33 = kappa
+    """
+    lines = []
+    if dim == 3:
+        for m in measurements:
+            q = rotation_to_quat(np.asarray(m.R))
+            t = np.asarray(m.t)
+            info = np.zeros((6, 6))
+            info[:3, :3] = m.tau * np.eye(3)
+            info[3:, 3:] = 2.0 * m.kappa * np.eye(3)
+            lines.append(
+                f"EDGE_SE3:QUAT {m.p1} {m.p2} "
+                f"{t[0]:.12g} {t[1]:.12g} {t[2]:.12g} "
+                f"{q[0]:.12g} {q[1]:.12g} {q[2]:.12g} {q[3]:.12g} "
+                f"{_info_upper(info)}"
+            )
+    else:
+        for m in measurements:
+            R = np.asarray(m.R)
+            theta = float(np.arctan2(R[1, 0], R[0, 0]))
+            t = np.asarray(m.t)
+            # upper triangle of [[tau,0,0],[.,tau,0],[.,.,kappa]]
+            lines.append(
+                f"EDGE_SE2 {m.p1} {m.p2} "
+                f"{t[0]:.12g} {t[1]:.12g} {theta:.12g} "
+                f"{m.tau:.12g} 0 0 {m.tau:.12g} 0 {m.kappa:.12g}"
+            )
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    return path
+
+
+def corrupt_with_outliers(measurements, frac: float = 0.15, seed: int = 7):
+    """Plant gross outlier loop closures into a PGO measurement list
+    (the testRobust.cpp:228-309 pattern at benchmark scale): add
+    frac * (#loop closures) new random-pair edges with random rotations
+    and gross random translations.  Returns (corrupted_list,
+    outlier_keys) where outlier_keys is the set of (p1, p2) pairs of the
+    planted edges (ground-truth labels for precision/recall)."""
+    from dcora_tpu.measurements import RelativePosePoseMeasurement
+
+    rng = np.random.default_rng(seed)
+    lcs = [m for m in measurements if not m.fixedWeight]
+    n = 1 + max(max(m.p1, m.p2) for m in measurements)
+    d = measurements[0].t.shape[0]
+    num_out = int(round(frac * len(lcs)))
+    kappa = float(np.median([m.kappa for m in lcs])) if lcs else 1e4
+    tau = float(np.median([m.tau for m in lcs])) if lcs else 1e2
+    existing = {(m.p1, m.p2) for m in measurements}
+    out = list(measurements)
+    outlier_keys = set()
+    while len(outlier_keys) < num_out:
+        i = int(rng.integers(n))
+        j = int(rng.integers(n))
+        if abs(i - j) <= 1 or (min(i, j), max(i, j)) in existing:
+            continue
+        i, j = min(i, j), max(i, j)
+        if d == 3:
+            R = _rand_rotation(rng, np.pi)
+        else:
+            th = rng.uniform(-np.pi, np.pi)
+            R = np.array([[np.cos(th), -np.sin(th)],
+                          [np.sin(th), np.cos(th)]])
+        t = rng.uniform(-10.0, 10.0, size=d)
+        out.append(RelativePosePoseMeasurement(
+            r1=0, p1=i, r2=0, p2=j, R=R, t=t, kappa=kappa, tau=tau,
+            fixedWeight=False,
+        ))
+        existing.add((i, j))
+        outlier_keys.add((i, j))
+    return out, outlier_keys
+
+
 def ensure_test_datasets(cache_dir: str) -> str:
     """Generate the test-suite dataset files into ``cache_dir`` (if not
     already present) and return the directory.  Used as the fallback when

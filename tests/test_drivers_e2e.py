@@ -35,3 +35,23 @@ def test_multi_robot_greedy_converges_and_certifies(data_dir):
     # artifacts/parity/multi_robot_smallGrid3D.json
     assert np.isclose(res.cost_trace[-1], 1025.3998, rtol=1e-3), \
         res.cost_trace[-1]
+
+
+def test_multi_robot_ra_adaptive_stop_certifies_from_demo_tol(data_dir):
+    """The adaptive certificate stop makes certification-after-RBCD hold
+    by construction: with the reference demo's loose tol (0.1,
+    MultiRobotExample_RASLAM.cpp:101), a failed PSD check whose |theta|
+    sits inside the O(gradnorm) certificate slack tightens the stop and
+    keeps iterating instead of escaping -- previously this config needed
+    a hand-picked tol=1e-4 to certify (tools/parity.py round-2 note)."""
+    from dcora_tpu.drivers.multi_robot_raslam import run
+
+    res = run(
+        f"{data_dir}/range_aided_slam_test_3d.pyfg", r_max=10,
+        min_eig_num_tol=1e-3, rgrad_norm_tol=0.1,
+    )
+    assert res.certified
+    assert res.final_rank == 3  # certifies at r = d, no spurious escapes
+    assert res.final_theta is not None and res.cert_slack is not None
+    # the recorded margin is explicit: certified means theta >= -eta
+    assert res.final_theta >= -1e-3

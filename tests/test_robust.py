@@ -168,3 +168,53 @@ def test_solve_robust_pgo_classifies_planted_outliers():
         assert m.weight > 1 - 1e-6, m.weight
     for m in outliers:
         assert m.weight < 1e-6, m.weight
+
+
+def test_corrupt_benchmark_gnc_classification(data_dir):
+    """GNC on a real benchmark with planted gross outliers (BASELINE.json
+    config 4 at reduced scale): corrupt smallGrid3D with 15% random-pair
+    loop closures, run solve_robust_pgo, require exact classification of
+    the planted set (testRobust.cpp:228-309 pattern at dataset scale)."""
+    from dcora_tpu.datasets import corrupt_with_outliers, write_g2o
+    from dcora_tpu.io import read_g2o_file
+
+    ds = read_g2o_file(f"{data_dir}/smallGrid3D.g2o")
+    corrupted, outlier_keys = corrupt_with_outliers(
+        ds.pose_pose_measurements, frac=0.15, seed=7
+    )
+    assert len(outlier_keys) >= 10
+    params = SolveRobustPGOParams(
+        opt_params=ROptParameters(gradnorm_tol=1.0, RTR_iterations=20),
+        robust_params=RobustCostParameters(
+            costType=RobustCostType.GNC_TLS, GNCBarc=5.0
+        ),
+    )
+    solve_robust_pgo(corrupted, params)
+    tp = fp = fn = 0
+    for m in corrupted:
+        if m.fixedWeight:
+            continue
+        rejected = m.weight < 1e-6
+        if (m.p1, m.p2) in outlier_keys:
+            tp += rejected
+            fn += not rejected
+        else:
+            fp += rejected
+    # every planted outlier rejected; no genuine loop closure rejected
+    assert fn == 0, f"missed {fn} planted outliers"
+    assert fp == 0, f"rejected {fp} genuine loop closures"
+    assert tp == len(outlier_keys)
+
+    # the writer round-trips (kappa, tau, R, t) through the parser
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        p = f"{td}/corrupted.g2o"
+        write_g2o(p, corrupted, ds.dim)
+        ds2 = read_g2o_file(p)
+        assert len(ds2.pose_pose_measurements) == len(corrupted)
+        for a, b in zip(corrupted, ds2.pose_pose_measurements):
+            assert abs(a.kappa - b.kappa) <= 1e-6 * abs(a.kappa)
+            assert abs(a.tau - b.tau) <= 1e-6 * abs(a.tau)
+            assert np.abs(np.asarray(a.R) - np.asarray(b.R)).max() < 1e-9
+            assert np.abs(np.asarray(a.t) - np.asarray(b.t)).max() < 1e-9
