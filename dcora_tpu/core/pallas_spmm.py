@@ -117,7 +117,7 @@ def spmm_symmetric(rows: jax.Array, cols: jax.Array, tiles: jax.Array,
             pl.BlockSpec(memory_space=pltpu.SMEM),   # tile rows
             pl.BlockSpec(memory_space=pltpu.SMEM),   # tile cols
             pl.BlockSpec(memory_space=pltpu.VMEM),   # X (resident)
-            pl.BlockSpec(memory_space=pltpu.ANY),    # tiles (stay in HBM)
+            pl.BlockSpec(memory_space=pl.ANY),    # tiles (stay in HBM)
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         cost_estimate=pl.CostEstimate(
@@ -255,7 +255,7 @@ def spmm_grouped(grows: jax.Array, gcols: jax.Array, wide: jax.Array,
             pl.BlockSpec(memory_space=pltpu.SMEM),   # group rows
             pl.BlockSpec(memory_space=pltpu.SMEM),   # group cols
             pl.BlockSpec(memory_space=pltpu.VMEM),   # X (resident)
-            pl.BlockSpec(memory_space=pltpu.ANY),    # wide tiles (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),    # wide tiles (HBM)
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         cost_estimate=pl.CostEstimate(

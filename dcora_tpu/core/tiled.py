@@ -101,7 +101,8 @@ class TiledMeta:
 
 @functools.partial(
     jax.tree_util.register_dataclass,
-    data_fields=["Q", "pose_inv", "sph_inv", "lmk_inv", "diag_inv"],
+    data_fields=["Q", "pose_inv", "sph_inv", "lmk_inv", "diag_inv",
+                 "btd_ltil", "btd_sinv"],
     meta_fields=["meta"],
 )
 @dataclasses.dataclass(frozen=True)
@@ -126,6 +127,16 @@ class TiledProblem:
     # factorization, Graph.cpp:1901-1917).  One batched [nt,T,T] matmul
     # per application.
     diag_inv: Optional[jax.Array] = None  # f[nt, T, T]
+    # optional block-tridiagonal (RCM band) factorization M = (I+L~) S
+    # (I+L~)^T of the regularized tridiagonal part of Q: L~_i = L_i
+    # inv(S_{i-1}) with L_i the sub-diagonal tiles and S_i the safeguarded
+    # Schur complements.  Captures ALL adjacent-tile coupling along the
+    # RCM band -- the next rung toward the reference's full CHOLMOD factor
+    # on range-coupled problems where the diagonal-tile Jacobi still
+    # leaves tCG ill-conditioned (NOTES.md:33-37).  Application = two
+    # length-nt lax.scans of [r_pad,T]@[T,T] matmuls + one batched solve.
+    btd_ltil: Optional[jax.Array] = None  # f[nt, T, T] (L~_0 = 0)
+    btd_sinv: Optional[jax.Array] = None  # f[nt, T, T]
 
 
 # --------------------------------------------------------------------------
@@ -470,8 +481,11 @@ def build_tiled(P: prob.ProblemData, dims: ProblemDims, T: int = 128,
         if b:
             ld = tail_diag[l:l + b] + reg
             lmk_inv[:] = 1.0 / np.where(ld == 0, 1.0, ld)
-    diag_inv = None
-    if tile_precond:
+    diag_inv = btd_ltil = btd_sinv = None
+    if tile_precond == "btd":
+        btd_ltil, btd_sinv = _factor_btd(dense, trow, tcol, nt, T, reg,
+                                         dtype)
+    elif tile_precond:
         # tile-granularity block-Jacobi: invert the regularized T x T
         # diagonal tiles (f64 inversion, stored at the tile dtype).
         # Padding rows >= k get reg on the diagonal, keeping blocks SPD.
@@ -486,7 +500,47 @@ def build_tiled(P: prob.ProblemData, dims: ProblemDims, T: int = 128,
         sph_inv=jnp.asarray(sph_inv.astype(dtype)),
         lmk_inv=jnp.asarray(lmk_inv.astype(dtype)),
         diag_inv=diag_inv,
+        btd_ltil=btd_ltil,
+        btd_sinv=btd_sinv,
     )
+
+
+def _factor_btd(dense, trow, tcol, nt: int, T: int, reg: float, dtype):
+    """Block-LDL^T of the regularized block-tridiagonal part of Q.
+
+    M = (I + L~) S (I + L~)^T with L~_i = L_i inv(S_{i-1}) and
+    S_i = D_i + reg I - L_i inv(S_{i-1}) L_i^T.  The tridiagonal
+    truncation of an SPD matrix need not be SPD, so each Schur complement
+    is safeguarded: if its smallest eigenvalue falls below 0.5*reg the
+    block is shifted up to that floor (any SPD M is a valid tCG
+    preconditioner; the safeguard only weakens it locally).  Returns
+    (L~ f[nt,T,T] with L~_0 = 0, inv(S) f[nt,T,T]) at the tile dtype.
+    """
+    D = np.zeros((nt, T, T))
+    on_diag = trow == tcol
+    D[trow[on_diag]] = dense[on_diag]
+    D += reg * np.eye(T)
+    L = np.zeros((nt, T, T))  # L[i] = tile(i, i-1), i >= 1
+    on_sub = trow == tcol + 1
+    L[trow[on_sub]] = dense[on_sub]
+
+    floor = 0.5 * reg
+    Sinv = np.zeros((nt, T, T))
+    Ltil = np.zeros((nt, T, T))
+    Sprev_inv = None
+    for i in range(nt):
+        Si = D[i].copy()
+        if i > 0 and L[i].any():
+            Ltil[i] = L[i] @ Sprev_inv
+            Si -= Ltil[i] @ L[i].T
+        # safeguard: keep every Schur complement decisively SPD
+        w = np.linalg.eigvalsh(0.5 * (Si + Si.T))
+        if w[0] < floor:
+            Si += (floor - w[0]) * np.eye(T)
+        Sinv[i] = np.linalg.inv(0.5 * (Si + Si.T))
+        Sprev_inv = Sinv[i]
+    return (jnp.asarray(Ltil.astype(dtype)),
+            jnp.asarray(Sinv.astype(dtype)))
 
 
 # --------------------------------------------------------------------------
@@ -663,13 +717,54 @@ def _precondition_tiles(TP: TiledProblem, Vf: jax.Array) -> jax.Array:
     return W.reshape(r_pad, meta.kpad)
 
 
+def _precondition_btd(TP: TiledProblem, Vf: jax.Array) -> jax.Array:
+    """Block-tridiagonal solve M^{-1} v along the RCM band.
+
+    Row-vector form of the block-LDL^T solve (M = (I+L~) S (I+L~)^T,
+    see _factor_btd): forward substitution u_i = v_i - u_{i-1} L~_i^T,
+    batched diagonal solve w_i = u_i Sinv_i, backward substitution
+    y_i = w_i - y_{i+1} L~_{i+1}.  Two length-nt lax.scans of
+    [r_pad, T] @ [T, T] matmuls -- sequential along the band, but the
+    band is exactly what the diagonal-tile Jacobi cannot capture.
+    """
+    meta = TP.meta
+    r_pad = Vf.shape[0]
+    V3 = Vf.reshape(r_pad, meta.nt, meta.T).transpose(1, 0, 2)  # [nt,r,T]
+    Ltil = TP.btd_ltil.astype(Vf.dtype)
+    Sinv = TP.btd_sinv.astype(Vf.dtype)
+
+    def fwd(u_prev, inp):
+        v, Lt = inp
+        u = v - jax.lax.dot_general(
+            u_prev, Lt, (((1,), (1,)), ((), ())),
+            preferred_element_type=Vf.dtype,
+        )  # u_prev @ Lt^T
+        return u, u
+
+    _, U = jax.lax.scan(fwd, jnp.zeros_like(V3[0]), (V3, Ltil))
+    W = jnp.einsum("nrt,nts->nrs", U, Sinv)
+    Ltil_next = jnp.concatenate([Ltil[1:], jnp.zeros_like(Ltil[:1])])
+
+    def bwd(y_next, inp):
+        w, Ln = inp
+        y = w - jnp.matmul(y_next, Ln)
+        return y, y
+
+    _, Y = jax.lax.scan(bwd, jnp.zeros_like(W[0]), (W, Ltil_next),
+                        reverse=True)
+    return Y.transpose(1, 0, 2).reshape(r_pad, meta.kpad)
+
+
 def precondition_flat(TP: TiledProblem, Vf: jax.Array) -> jax.Array:
     """Block-Jacobi solve in flat layout (cf. prob.apply_preconditioner).
 
-    With TP.diag_inv present the solve runs at tile granularity;
+    With TP.btd_ltil present the solve is block-tridiagonal along the
+    RCM band; with TP.diag_inv present it runs at tile granularity;
     otherwise TP.pose_inv is stored planar [dh, dh, n] so the application
     is dh^2 lane-parallel multiply-adds.
     """
+    if TP.btd_ltil is not None:
+        return _precondition_btd(TP, Vf)
     if TP.diag_inv is not None:
         return _precondition_tiles(TP, Vf)
     meta = TP.meta
@@ -800,11 +895,12 @@ def weingarten_apply_planar(meta: TiledMeta, eta: Planar, aux) -> Planar:
 
 def precondition_planar(TP: TiledProblem, Vp: Planar) -> Planar:
     meta = TP.meta
-    if TP.diag_inv is not None:
-        # tile solve needs the interleaved layout: 2 relayouts per apply
-        # (once per tCG iteration) buy the much stronger preconditioner
-        return to_planar(meta, _precondition_tiles(TP, from_planar(meta,
-                                                                   Vp)))
+    if TP.btd_ltil is not None or TP.diag_inv is not None:
+        # tile/band solves need the interleaved layout: 2 relayouts per
+        # apply (once per tCG iteration) buy the much stronger
+        # preconditioner
+        return to_planar(meta, precondition_flat(TP, from_planar(meta,
+                                                                 Vp)))
     dh = meta.dh
     inv = TP.pose_inv.astype(Vp.pose[0].dtype)
     out = []

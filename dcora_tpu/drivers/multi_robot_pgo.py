@@ -143,7 +143,8 @@ def run(num_robots: int, g2o_path: str, acceleration: bool = True,
         log_directory: str = "",
         checkpoint_path: str = "",
         robust_cost_params: Optional[RobustCostParameters] = None,
-        robust_weight_updates: int = 3,
+        robust_weight_updates: int = 10,  # reference default (Agent.h:119)
+        robust_inner_iters: int = 30,  # reference default (Agent.h:121)
         adaptive_stop: bool = True,
         cert_slack_c: float = 1.0) -> MultiRobotResult:
     """When ``robust_cost_params`` selects a non-L2 cost, the distributed
@@ -238,6 +239,7 @@ def run(num_robots: int, g2o_path: str, acceleration: bool = True,
             if robust:
                 options.robustCostParams = robust_cost_params
                 options.robustOptNumWeightUpdates = robust_weight_updates
+                options.robustOptInnerIters = robust_inner_iters
             agent = Agent(robot, options)
             if robot > 0:
                 agent.set_lifting_matrix(agents[0].get_lifting_matrix())

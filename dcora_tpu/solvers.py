@@ -131,12 +131,22 @@ def rtr_fast(g: LocalGraph, P: prob.ProblemData, M, X0: RAState,
         TP = TileCache()
     elif not isinstance(TP, TileCache):  # bare f32 TiledProblem
         TP = TileCache(f32=TP)
-    # RA problems (unit spheres present) get the tile-granularity
-    # block-Jacobi: on range-coupled Q the per-pose Jacobi leaves tCG
-    # badly conditioned (single_drone rank-3: 49 outers to 1e-4 with tile
-    # blocks vs stalled at 5.8e-2 after 60 without); on PGO both behave
+    # RA problems (unit spheres present) get the strong preconditioner:
+    # on range-coupled Q the per-pose Jacobi leaves tCG badly
+    # conditioned (single_drone rank-3: 49 outers to 1e-4 with tile
+    # blocks vs stalled at 5.8e-2 after 60 without); the default is the
+    # block-tridiagonal RCM-band factorization (tiled._factor_btd) which
+    # additionally captures adjacent-tile coupling (tiers rank-2 stalled
+    # at 2.4e-3 under the diagonal-tile solve).  DCORA_RA_PRECOND
+    # overrides: "btd" | "tile" | "pose".  On PGO all behave near
     # identically, so the cheaper per-pose path stays.
-    tile_pc = g.l > 0
+    import os
+
+    mode = os.environ.get("DCORA_RA_PRECOND", "btd")
+    if g.l > 0 and mode != "pose":
+        tile_pc = "btd" if mode == "btd" else True
+    else:
+        tile_pc = False
     reg = precond_reg(g, P) if tile_pc else 0.1
     if TP.f32 is None:
         TP.f32 = tiled.build_tiled(P, g.dims, precond=M, reg=reg,

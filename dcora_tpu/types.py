@@ -171,7 +171,7 @@ class AgentParameters:
     robustOptInnerIters: int = 30
     robustOptMinConvergenceRatio: float = 0.8
     robustOptNumWeightUpdates: int = 10
-    robustOptNumResets: int = 1
+    robustOptNumResets: int = 0  # reference default (Agent.h:120)
     robustInitMinInliers: int = 2
     maxNumIters: int = 500
     relChangeTol: float = 5e-3
