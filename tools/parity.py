@@ -82,13 +82,13 @@ CONFIGS = {
     "multi_robot_smallGrid3D": dict(kind="dc2pgo", file="smallGrid3D.g2o",
                                     robots=5, r_min=5, r_max=10, eta=1e-3),
     # multi-robot DCORA (2 robots A/B in the file) — the distributed RA
-    # path of MultiRobotExample_RASLAM.cpp
-    # tol: the dual-certificate error scales with the RBCD gradnorm, so
-    # the noiseless test set needs a tighter stop than the demo's 0.1 for
-    # certification at eta=1e-3 to be reachable
+    # path of MultiRobotExample_RASLAM.cpp.  Uses the demo stop tol 0.1
+    # (MultiRobotExample_RASLAM.cpp:101): the adaptive RBCD->certificate
+    # stop tightens it automatically when the dual certificate is
+    # inconclusive within the O(gradnorm) slack.
     "multi_robot_ra_test_3d": dict(kind="dcora",
                                    file="range_aided_slam_test_3d.pyfg",
-                                   r_max=10, eta=1e-3, tol=1e-4),
+                                   r_max=10, eta=1e-3, tol=0.1),
 }
 
 
