@@ -180,6 +180,124 @@ def build_row_groups(rows, cols, tiles, T: int = 128, G: int = GROUP):
             np.stack(gtiles).astype(np.float32))
 
 
+def _row_partition_widths(counts, widths, pen: float):
+    """DP: cheapest way to cover a row of t tiles with groups whose widths
+    come from `widths`, costing (streamed tiles + pen per group).  Returns
+    {t: (cost, first_width)} for every t in counts."""
+    tmax = max(counts)
+    INF = float("inf")
+    cost = [0.0] + [INF] * tmax
+    first = [0] * (tmax + 1)
+    for t in range(1, tmax + 1):
+        for w in widths:
+            c = w + pen + cost[max(0, t - w)]
+            if c < cost[t]:
+                cost[t] = c
+                first[t] = w
+    return cost, first
+
+
+def choose_bucket_widths(tile_counts, max_widths: int = 3,
+                         pen: float = 0.75):
+    """Pick <= max_widths group widths minimizing streamed tiles + a
+    per-group issue penalty (`pen`, in tile-bandwidth units) over the
+    per-row tile-count histogram.  Brute force: candidate widths are
+    1..min(max count, 16), histograms are tiny."""
+    import itertools
+
+    import numpy as np
+
+    counts = np.asarray(tile_counts)
+    hist = {}
+    for t in counts:
+        hist[int(t)] = hist.get(int(t), 0) + 1
+    cand = range(1, min(max(hist) if hist else 1, 16) + 1)
+    best, best_w = float("inf"), (8,)
+    for k in range(1, max_widths + 1):
+        for W in itertools.combinations(cand, k):
+            cost, _ = _row_partition_widths(hist, W, pen)
+            tot = sum(nrows * cost[t] for t, nrows in hist.items())
+            if tot < best:
+                best, best_w = tot, W
+    return tuple(sorted(best_w))
+
+
+def build_row_groups_bucketed(rows, cols, tiles, T: int = 128,
+                              max_widths: int = 3, pen: float = 0.75):
+    """Host-side: pack the upper-triangular tile list into row-groups of
+    SEVERAL widths so streamed bytes stay ~1.0x the stored tiles.
+
+    The fixed-G layout (build_row_groups) zero-pads every row to a G
+    multiple; with the RCM band's ~4-5 tiles/row that streams ~2x the
+    tile bytes at G=8 (measured on city10000: 1880/921 tiles) — the
+    whole gap between the kernel's ~0.19 ms and the ~0.13 ms HBM
+    roofline.  Here each row is partitioned into groups whose widths are
+    chosen per-dataset by a small DP over the tile-count histogram
+    (choose_bucket_widths), and one kernel instance per width streams
+    exact bytes.  Returns [(grows, gcols, wide), ...] — one triple per
+    width, shapes as in build_row_groups; G = gcols.shape[1].
+    """
+    import numpy as np
+
+    rows = np.asarray(rows)
+    cols = np.asarray(cols)
+    tiles = np.asarray(tiles)
+    order = np.argsort(rows, kind="stable")
+    rows, cols, tiles = rows[order], cols[order], tiles[order]
+
+    # per-row tile counts (rows are sorted)
+    uniq, starts, counts = np.unique(rows, return_index=True,
+                                     return_counts=True)
+    if not len(uniq):
+        return [(np.zeros(1, np.int32), np.zeros((1, 1), np.int32),
+                 np.zeros((1, T, T), np.float32))]
+    widths = choose_bucket_widths(counts, max_widths=max_widths, pen=pen)
+    _, first = _row_partition_widths(
+        {int(t): 1 for t in counts}, widths, pen)
+
+    per_w = {w: ([], [], []) for w in widths}
+    for r, s, t in zip(uniq, starts, counts):
+        i = int(s)
+        left = int(t)
+        while left > 0:
+            w = first[left]
+            take = min(w, left)
+            cs = cols[i:i + take]
+            ts = tiles[i:i + take]
+            if take < w:
+                cs = np.concatenate([cs, np.full(w - take, r, cs.dtype)])
+                ts = np.concatenate(
+                    [ts, np.zeros((w - take, T, T), ts.dtype)])
+            g = per_w[w]
+            g[0].append(r)
+            g[1].append(cs)
+            g[2].append(np.concatenate(list(ts), axis=1))
+            i += take
+            left -= take
+    out = []
+    for w in widths:
+        gr, gc, gt = per_w[w]
+        if not gr:
+            continue
+        out.append((np.asarray(gr, np.int32),
+                    np.asarray(gc, np.int32).reshape(len(gr), w),
+                    np.stack(gt).astype(np.float32)))
+    return out
+
+
+def spmm_bucketed(buckets, Xf: jax.Array, T: int = 128,
+                  interpret: bool = False) -> jax.Array:
+    """W = Xf Q summed over per-width grouped kernels (see
+    build_row_groups_bucketed).  `buckets` is a sequence of
+    (grows, gcols, wide) jax arrays; G is derived from gcols.shape[1]."""
+    W = None
+    for grows, gcols, wide in buckets:
+        Y = spmm_grouped(grows, gcols, wide, Xf, T=T,
+                         G=int(gcols.shape[1]), interpret=interpret)
+        W = Y if W is None else W + Y
+    return W
+
+
 def _grouped_kernel(grows_ref, gcols_ref, x_ref, wide_hbm, out_ref, *,
                     T: int, G: int, ngroups: int, interpret: bool = False):
     W = G * T

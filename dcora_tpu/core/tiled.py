@@ -65,6 +65,11 @@ class TiledQ(NamedTuple):
     grp_rows: Optional[jax.Array] = None    # i32[ngroups]
     grp_cols: Optional[jax.Array] = None    # i32[ngroups, G]
     grp_wide: Optional[jax.Array] = None    # f32[ngroups, T, G*T]
+    # bucketed variant: ((grows, gcols, wide), ...) with per-bucket widths
+    # chosen from the tile-count histogram so streamed bytes stay ~1.0x
+    # the stored tiles (fixed G=8 streams ~2x on the RCM band's ~4-5
+    # tiles/row).  Preferred over the fixed-G fields when present.
+    grp_buckets: Optional[tuple] = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -419,24 +424,23 @@ def build_tiled(P: prob.ProblemData, dims: ProblemDims, T: int = 128,
     ra_of_fl[fl_of_ra] = np.arange(k)
 
     meta = TiledMeta(d=d, n=n, l=l, b=b, T=T, nt=nt)
-    grp_rows = grp_cols = grp_wide = None
+    grp_buckets = None
     if with_pallas:
-        from dcora_tpu.core.pallas_spmm import build_row_groups
+        from dcora_tpu.core.pallas_spmm import build_row_groups_bucketed
 
         up = trow <= tcol
-        gr, gc, gw = build_row_groups(trow[up], tcol[up], dense[up], T=T)
-        grp_rows = jnp.asarray(gr)
-        grp_cols = jnp.asarray(gc)
-        grp_wide = jnp.asarray(gw)
+        grp_buckets = tuple(
+            (jnp.asarray(gr), jnp.asarray(gc), jnp.asarray(gw))
+            for gr, gc, gw in build_row_groups_bucketed(
+                trow[up], tcol[up], dense[up], T=T)
+        )
     Q = TiledQ(
         tiles=jnp.asarray(dense.astype(dtype)),
         tile_rows=jnp.asarray(trow),
         tile_cols=jnp.asarray(tcol),
         ra_of_fl=jnp.asarray(ra_of_fl.astype(np.int32)),
         fl_of_ra=jnp.asarray(fl_of_ra.astype(np.int32)),
-        grp_rows=grp_rows,
-        grp_cols=grp_cols,
-        grp_wide=grp_wide,
+        grp_buckets=grp_buckets,
     )
 
     # block-Jacobi preconditioner in flat (RCM) order.  The blocks are the
@@ -557,7 +561,13 @@ def apply_tiled(TP: TiledProblem, Xf: jax.Array) -> jax.Array:
     """
     meta = TP.meta
     r_pad = Xf.shape[0]
-    if (TP.Q.grp_wide is not None and Xf.dtype == jnp.float32):
+    if TP.Q.grp_buckets is not None and Xf.dtype == jnp.float32:
+        from dcora_tpu.core import pallas_spmm
+
+        if pallas_spmm.pallas_available():
+            return pallas_spmm.spmm_bucketed(TP.Q.grp_buckets, Xf,
+                                             T=meta.T)
+    elif TP.Q.grp_wide is not None and Xf.dtype == jnp.float32:
         from dcora_tpu.core import pallas_spmm
 
         if pallas_spmm.pallas_available():

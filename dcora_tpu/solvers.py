@@ -207,8 +207,18 @@ def rtr_fast(g: LocalGraph, P: prob.ProblemData, M, X0: RAState,
                                        dtype=np.float64,
                                        tile_precond=tile_pc)
         X_warm, _ = drive_tiled(TP.f64, X_warm, chunk=8)
-    # phase 3: exact residual-form finish
-    return rtr_chunked(P, G, M, X_warm, cfg, chunk=4), TP
+    # phase 3: exact residual-form finish.  Same watchdog rule as
+    # drive_tiled: cap the outer-iterations-per-device-call so one XLA
+    # program stays ~20 s.  The edge SpMV is gather/scatter bound at
+    # ~3.5 us/edge (f64, r_pad 8, measured on city10000: 67 ms / 20.7k
+    # edges); g2o100k-class problems (~150k edges x 50+ tCG inners per
+    # outer) would otherwise run minutes per chunk=4 call and crash the
+    # tunneled TPU worker.
+    m_edges = int(P.pp_ri.shape[0]) + int(P.pl_ri.shape[0]) + \
+        int(P.rg_ti.shape[0])
+    per_outer_s = (cfg.max_inner + 3) * 3.5e-6 * max(m_edges, 1)
+    chunk3 = max(1, min(4, int(20.0 / max(per_outer_s, 1e-9))))
+    return rtr_chunked(P, G, M, X_warm, cfg, chunk=chunk3), TP
 
 
 def solve_pgo(measurements: List[RelativePosePoseMeasurement],

@@ -117,6 +117,54 @@ def test_spmm_grouped_kernel_matches_xla_path(G):
                                np.asarray(ref) / scale, atol=2e-6)
 
 
+def test_spmm_bucketed_matches_xla_path():
+    """Bucketed multi-width grouping (interpret mode) == XLA tiles, and
+    the layout streams exactly the stored upper-triangular tiles plus
+    only the in-row remainder padding the chosen widths imply."""
+    from dcora_tpu.core import pallas_spmm
+
+    rng = np.random.default_rng(5)
+    g = _random_ra_graph(rng, n=9, l=5, b=4)
+    P = g.problem_data()
+    TP = tiled.build_tiled(P, g.dims, T=128, dtype=np.float32)
+    trow = np.asarray(TP.Q.tile_rows)
+    tcol = np.asarray(TP.Q.tile_cols)
+    dense = np.asarray(TP.Q.tiles)
+    up = trow <= tcol
+    buckets = pallas_spmm.build_row_groups_bucketed(
+        trow[up], tcol[up], dense[up], T=128)
+    # every stored tile norm is preserved exactly once across buckets
+    tot = sum(float(np.abs(gw).sum()) for _, _, gw in buckets)
+    np.testing.assert_allclose(tot, float(np.abs(dense[up]).sum()),
+                               rtol=1e-6)
+    Xf = jnp.asarray(rng.standard_normal((8, TP.meta.kpad))
+                     .astype(np.float32))
+    ref = tiled.apply_tiled(TP, Xf)
+    buckets_j = [(jnp.asarray(a), jnp.asarray(b), jnp.asarray(c))
+                 for a, b, c in buckets]
+    out = pallas_spmm.spmm_bucketed(buckets_j, Xf, T=128, interpret=True)
+    scale = float(jnp.max(jnp.abs(ref))) + 1e-30
+    np.testing.assert_allclose(np.asarray(out) / scale,
+                               np.asarray(ref) / scale, atol=2e-6)
+
+
+def test_choose_bucket_widths_exactness():
+    """Width selection covers every row count; a uniform histogram picks
+    its own width (zero padding)."""
+    from dcora_tpu.core import pallas_spmm
+
+    w = pallas_spmm.choose_bucket_widths([4] * 100)
+    assert 4 in w
+    # mixed histogram: every row count must be coverable by the DP
+    counts = [1, 2, 3, 4, 5, 6, 9, 17]
+    widths = pallas_spmm.choose_bucket_widths(counts)
+    cost, first = pallas_spmm._row_partition_widths(
+        {t: 1 for t in counts}, widths, 0.75)
+    for t in counts:
+        assert cost[t] < float("inf")
+        assert first[t] in widths
+
+
 def test_planar_ops_match_flat_ops():
     """Planar-layout manifold/preconditioner ops == flat-layout ops.
 

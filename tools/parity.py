@@ -54,6 +54,18 @@ CONFIGS = {
                   eta=1e-3),
     "kitti_00": dict(kind="pgo", file="kitti_00.g2o", r_min=5, r_max=12,
                      eta=1e-3),
+    "kitti_02": dict(kind="pgo", file="kitti_02.g2o", r_min=5, r_max=12,
+                     eta=1e-3),
+    "kitti_05": dict(kind="pgo", file="kitti_05.g2o", r_min=5, r_max=12,
+                     eta=1e-3),
+    "kitti_06": dict(kind="pgo", file="kitti_06.g2o", r_min=5, r_max=12,
+                     eta=1e-3),
+    "kitti_07": dict(kind="pgo", file="kitti_07.g2o", r_min=5, r_max=12,
+                     eta=1e-3),
+    "kitti_08": dict(kind="pgo", file="kitti_08.g2o", r_min=5, r_max=12,
+                     eta=1e-3),
+    "kitti_09": dict(kind="pgo", file="kitti_09.g2o", r_min=5, r_max=12,
+                     eta=1e-3),
     "input_INTEL": dict(kind="pgo", file="input_INTEL_g2o.g2o", r_min=5,
                         r_max=12, eta=1e-3),
     "input_M3500": dict(kind="pgo", file="input_M3500_g2o.g2o", r_min=5,
