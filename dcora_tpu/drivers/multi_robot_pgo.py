@@ -93,21 +93,43 @@ def partition_measurements(measurements, n: int, num_robots: int):
     return odometry, private, shared, robot_of
 
 
-def _sync_central_weights(agents, measurements, n: int, num_robots: int):
-    """Pull the agents' GNC weights back onto the central (global-index)
-    measurement list so the central cost/gradnorm/certification reflect the
-    reweighted problem."""
+def _collect_weights(agents, n: int, num_robots: int) -> dict:
+    """Snapshot the agents' GNC weights as an explicit global-keyed state
+    {(p1_global, p2_global): weight}.  The single source of truth for
+    weights across ranks: fresh agents and the central problem are
+    re-weighted from this dict (_apply_weights) rather than relying on
+    the in-place mutation of shared measurement objects surviving the
+    staircase's per-rank reconstruction."""
     npr = n // num_robots
 
     def g(rid, idx):
         return rid * npr + idx
 
-    lookup = {(m.p1, m.p2): m for m in measurements}
+    out = {}
     for a in agents:
         for m in a.graph.active_loop_closures():
-            cm = lookup.get((g(m.r1, m.p1), g(m.r2, m.p2)))
-            if cm is not None and not cm.fixedWeight:
-                cm.weight = m.weight
+            if not m.fixedWeight:
+                out[(g(m.r1, m.p1), g(m.r2, m.p2))] = float(m.weight)
+    return out
+
+
+def _apply_weights(measurements, weight_state: dict, n: int,
+                   num_robots: int, local: bool) -> None:
+    """Write the explicit weight state onto a measurement list; `local`
+    selects (robot, index) keys mapped through the contiguous partition."""
+    if not weight_state:
+        return
+    npr = n // num_robots
+
+    def key(m):
+        if local:
+            return (m.r1 * npr + m.p1, m.r2 * npr + m.p2)
+        return (m.p1, m.p2)
+
+    for m in measurements:
+        w = weight_state.get(key(m))
+        if w is not None and not m.fixedWeight:
+            m.weight = w
 
 
 def robot_slice(n: int, num_robots: int, robot: int):
@@ -217,9 +239,18 @@ def run(num_robots: int, g2o_path: str, acceleration: bool = True,
             Xcurr, r, _, _ = load_checkpoint(checkpoint_path)
             logger.info("resuming DC2-PGO from checkpoint at rank %d", r)
 
+    # explicit GNC weight state carried across ranks (fresh agents are
+    # re-weighted from this dict; see _collect_weights)
+    weight_state: Dict[tuple, float] = {}
+
     # optimize at every rank entered, including an escape landing at r_max
     # (reference optimizes each entered rank; see staircase.py note)
     while True:
+        for robot in range(num_robots):
+            _apply_weights(private[robot] + shared[robot], weight_state,
+                           n, num_robots, local=True)
+        _apply_weights(measurements, weight_state, n, num_robots,
+                       local=False)
         central = LocalGraph(0, r, d)
         central.set_measurements(measurements)
         P = central.problem_data()
@@ -301,8 +332,10 @@ def run(num_robots: int, g2o_path: str, acceleration: bool = True,
                         a.update_measurement_weights()
                         any_update = True
                 if any_update:
-                    _sync_central_weights(agents, measurements, n,
-                                          num_robots)
+                    weight_state.update(
+                        _collect_weights(agents, n, num_robots))
+                    _apply_weights(measurements, weight_state, n,
+                                   num_robots, local=False)
                     central.set_measurements(measurements)
                     P = central.problem_data()
 

@@ -360,6 +360,12 @@ def main():
         print(table)
         return
 
+    import logging
+
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s %(name)s: %(message)s")
+
     import jax
 
     if args.platform == "cpu":
