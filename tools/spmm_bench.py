@@ -125,6 +125,24 @@ def main():
             print(f"Pallas grouped G={G}: FAILED {type(e).__name__}: "
                   f"{str(e)[:200]}")
 
+    # bucketed multi-width grouping (exact streamed bytes)
+    buckets = pallas_spmm.build_row_groups_bucketed(
+        trow[up], tcol[up], dense[up], T=T)
+    bj = [(jnp.asarray(gr), jnp.asarray(gc), jnp.asarray(gw))
+          for gr, gc, gw in buckets]
+    mb = sum(gw.size for _, _, gw in buckets) * 4 / 1e6
+    widths = [gc.shape[1] for _, gc, _ in buckets]
+    try:
+        t_bkt, out = timeit(
+            lambda X: pallas_spmm.spmm_bucketed(bj, X, T=T), Xf)
+        print(f"Pallas bucketed W={widths} "
+              f"({sum(len(b[0]) for b in buckets):5d} grp, "
+              f"{mb:6.1f} MB): {t_bkt * 1e3:8.3f} ms")
+        check(out, "bucketed")
+    except Exception as e:  # noqa: BLE001
+        print(f"Pallas bucketed: FAILED {type(e).__name__}: "
+              f"{str(e)[:200]}")
+
 
 if __name__ == "__main__":
     main()
