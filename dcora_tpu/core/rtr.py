@@ -391,10 +391,19 @@ class RTRResult(NamedTuple):
     gradnorm_final: jax.Array
     outer_iters: jax.Array
     accepted: jax.Array  # whether any step was accepted
+    # final trust-region radius; thread back in as `radius0` when a solve
+    # is split across device calls (host chunking), otherwise every chunk
+    # restarts at cfg.initial_radius and — at chunk=1 on watchdog-limited
+    # problems — each call burns its single iteration rejecting the same
+    # too-large step (tiers.pyfg rank 3 made zero progress this way)
+    radius_final: Optional[jax.Array] = None
 
 
-def _rtr_impl(P, G, M, X0, cfg: RTRConfig, be=RA_BACKEND) -> RTRResult:
+def _rtr_impl(P, G, M, X0, cfg: RTRConfig, be=RA_BACKEND,
+              radius0=None) -> RTRResult:
     max_radius = cfg.initial_radius * cfg.max_radius_factor
+    rad0 = (jnp.asarray(cfg.initial_radius) if radius0 is None
+            else jnp.asarray(radius0))
 
     # W = X Q is the expensive part of cost, gradient, and acceptance test
     # alike; the loop carries it so each outer iteration pays exactly one
@@ -456,14 +465,14 @@ def _rtr_impl(P, G, M, X0, cfg: RTRConfig, be=RA_BACKEND) -> RTRResult:
         # skip if already below tolerance (QuadraticOptimizer.cpp:54-56)
         g0 = tnorm(rgrad_of(X0, W0))
         below = g0 < cfg.gradnorm_tol
-        X, W, _, it, accepted = jax.lax.while_loop(
+        X, W, rad, it, accepted = jax.lax.while_loop(
             cond, body,
-            (X0, W0, jnp.asarray(cfg.initial_radius),
-             jnp.zeros((), jnp.int32), below),
+            (X0, W0, rad0, jnp.zeros((), jnp.int32), below),
         )
         return RTRResult(
             X=X, f_final=f_of(X, W), gradnorm_final=tnorm(rgrad_of(X, W)),
             outer_iters=it, accepted=jnp.logical_or(accepted, below),
+            radius_final=rad,
         )
 
     def cond(s):
@@ -489,14 +498,13 @@ def _rtr_impl(P, G, M, X0, cfg: RTRConfig, be=RA_BACKEND) -> RTRResult:
 
     g0 = tnorm(rgrad_of(X0, W0))
     init_done = g0 < cfg.gradnorm_tol
-    X, W, _, it, _, any_acc = jax.lax.while_loop(
+    X, W, rad, it, _, any_acc = jax.lax.while_loop(
         cond, body,
-        (X0, W0, jnp.asarray(cfg.initial_radius),
-         jnp.zeros((), jnp.int32), init_done, init_done),
+        (X0, W0, rad0, jnp.zeros((), jnp.int32), init_done, init_done),
     )
     return RTRResult(
         X=X, f_final=f_of(X, W), gradnorm_final=tnorm(rgrad_of(X, W)),
-        outer_iters=it, accepted=any_acc,
+        outer_iters=it, accepted=any_acc, radius_final=rad,
     )
 
 
@@ -541,10 +549,12 @@ def rtr_chunked(P, G, M, X0, cfg: RTRConfig, chunk: int = 20,
     total = 0
     X = X0
     res = None
+    rad = None  # trust-region radius persists across device calls
     cfg_c = dataclasses.replace(cfg, max_outer=min(chunk, cfg.max_outer))
     while total < cfg.max_outer:
-        res = rtr(P, G, M, X, cfg_c, be=be)
+        res = rtr(P, G, M, X, cfg_c, be=be, radius0=rad)
         X = res.X
+        rad = res.radius_final
         total += int(res.outer_iters)
         if float(res.gradnorm_final) < cfg.gradnorm_tol or \
                 int(res.outer_iters) < cfg_c.max_outer:
@@ -554,7 +564,8 @@ def rtr_chunked(P, G, M, X0, cfg: RTRConfig, chunk: int = 20,
     return RTRResult(X=res.X, f_final=res.f_final,
                      gradnorm_final=res.gradnorm_final,
                      outer_iters=jnp.asarray(total),
-                     accepted=res.accepted)
+                     accepted=res.accepted,
+                     radius_final=res.radius_final)
 
 
 def _cast(tree, dtype):

@@ -177,9 +177,12 @@ def rtr_fast(g: LocalGraph, P: prob.ProblemData, M, X0: RAState,
         cfg_c = dataclasses.replace(cfg_t, max_outer=chunk)
         total = 0
         prev_gn = gn_last = float("inf")
+        rad = None  # trust-region radius persists across device calls
         while total < cfg.max_outer:
-            res_t = rtr(TPx, Gf, None, Xf, cfg_c, be=FLAT_BACKEND)
+            res_t = rtr(TPx, Gf, None, Xf, cfg_c, be=FLAT_BACKEND,
+                        radius0=rad)
             Xf = res_t.X
+            rad = res_t.radius_final
             gn = gn_last = float(res_t.gradnorm_final)
             total += int(res_t.outer_iters)
             if gn < cfg_t.gradnorm_tol or int(res_t.outer_iters) < chunk:

@@ -112,13 +112,40 @@ def riemannian_staircase(
         )
         from dcora_tpu.solvers import FAST_PATH_MIN_POSES, rtr_fast
 
-        if g.n >= FAST_PATH_MIN_POSES:
-            res, TP = rtr_fast(g, P, M, X, cfg, G=G_at_rank(r), TP=TP)
-        else:
+        def solve_at_rank(X_in):
+            nonlocal TP
+            if g.n >= FAST_PATH_MIN_POSES:
+                res_, TP = rtr_fast(g, P, M, X_in, cfg, G=G_at_rank(r),
+                                    TP=TP)
+                return res_
             G = G_at_rank(r)
-            res = rtr(P, G if G is not None else lifted.zeros(dims, r),
-                      M, X, cfg)
+            return rtr(P, G if G is not None else lifted.zeros(dims, r),
+                       M, X_in, cfg)
+
+        res = solve_at_rank(X)
         X = res.X
+        # When the iteration budget runs out above tolerance, keep
+        # optimizing at THIS rank while the cost still falls: certifying
+        # (and saddle-escaping) a non-critical point wastes a staircase
+        # rank per retry and can climb to r_max without ever converging
+        # (the reference's RTRNewton stops on gradient norm, not on an
+        # outer-iteration budget; QuadraticOptimizer.cpp:234-280).
+        retries = 0
+        while (float(res.gradnorm_final) > opt_params.gradnorm_tol
+               and retries < 8):
+            f_prev = float(res.f_final)
+            res = solve_at_rank(X)
+            X = res.X
+            retries += 1
+            rel = (f_prev - float(res.f_final)) / max(1.0, abs(f_prev))
+            if verbose:
+                logger.info(
+                    "rank %d: continue %d: f=%.6f gradnorm=%.3e "
+                    "(rel decrease %.1e)", r, retries,
+                    float(res.f_final), float(res.gradnorm_final), rel,
+                )
+            if rel < 1e-10:
+                break  # genuine stall: let certification decide
         if verbose:
             logger.info(
                 "rank %d: f=%.6f gradnorm=%.3e", r, float(res.f_final),
