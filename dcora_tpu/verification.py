@@ -246,7 +246,20 @@ def verify_solution(measurements, X, d: int,
 
     dims = X.dims
     n, l, b = dims.n, dims.l, dims.b
-    pp, pl, rg = split_measurements(measurements)
+    # dedup by edge ID, keeping the first occurrence — the graph layer
+    # (and the reference's EdgeIDMap insert, Graph.cpp:121-281) silently
+    # drops repeated edges, so the verification cost must too; kitti_06
+    # carries one duplicated loop closure (850,20) that otherwise skews
+    # f and the gradient by the duplicate's full weight
+    seen = set()
+    uniq = []
+    for m in measurements:
+        eid = m.edge_id()
+        if eid in seen:
+            continue
+        seen.add(eid)
+        uniq.append(m)
+    pp, pl, rg = split_measurements(uniq)
     Q = sparse_Q_ra(pp, pl, rg, n, l, b, d)
     Xf = np.asarray(lifted.to_flat(X), dtype=np.float64)
     f = 0.5 * float(np.sum((Xf @ Q) * Xf))
