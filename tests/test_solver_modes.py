@@ -143,3 +143,38 @@ def test_agent_rgd_dispatch(data_dir):
     assert float(manifold.manifold_error(X_after)) < 1e-9
     assert not np.allclose(np.asarray(X_before.rot),
                            np.asarray(X_after.rot))
+
+
+def test_chunked_radius_carry(data_dir):
+    """rtr_chunked must thread the trust-region radius across device
+    calls.  With an oversized initial radius and chunk=1, a per-call
+    radius reset burns every call's single outer iteration rejecting the
+    same too-large step (tiers.pyfg rank 3 regression); the carried
+    radius lets the chunked solve match the monolithic one."""
+    from dcora_tpu.core.rtr import rtr_chunked
+    from dcora_tpu.solvers import make_preconditioner
+
+    import jax.random as jr
+
+    g, P, _ = _tiny_problem(data_dir)
+    M = make_preconditioner(g, P)
+    G = lifted.zeros(g.dims, 5)
+    # random far-from-optimum init with a tight tCG budget: big steps
+    # get rejected, so the adaptive rule must shrink the radius
+    X0 = manifold.random_state(jr.PRNGKey(3), g.dims, 5)
+
+    cfg = RTRConfig(gradnorm_tol=1e-6, max_outer=80, max_inner=3,
+                    initial_radius=1e4)
+    res_mono = rtr(P, G, M, X0, cfg)
+    assert res_mono.radius_final is not None
+    # the oversized radius must have been shrunk by the adaptive rule
+    assert float(res_mono.radius_final) < 1e4
+
+    res_chunk = rtr_chunked(P, G, M, X0, cfg, chunk=1)
+    assert float(res_chunk.gradnorm_final) < 1e-4, (
+        "chunk=1 solve stalled: radius not carried across calls"
+    )
+    np.testing.assert_allclose(
+        float(res_chunk.f_final), float(res_mono.f_final),
+        rtol=1e-6, atol=1e-9,
+    )
