@@ -200,11 +200,24 @@ def rtr_fast(g: LocalGraph, P: prob.ProblemData, M, X0: RAState,
         # is still meaningful, so prefer it
         return X_out, gn_last
 
-    # phase 1: f32 coarse
-    X_warm, gn32 = drive_tiled(TP.f32, X0, chunk=25)
+    # Warm starts that are already near-critical (staircase continue
+    # retries, refinement of a certified rank) skip the coarse phases:
+    # re-entering phase 1 casts the iterate to f32, which *degrades* a
+    # converged point and wastes the whole chunk recovering.  One exact
+    # edge-path gradnorm probe (one SpMM) decides.
+    from dcora_tpu.core.rtr import RA_BACKEND, tadd, tnorm
+
+    W0 = RA_BACKEND.applyQ(P, X0)
+    eg0 = W0 if G is None else tadd(W0, G)
+    gn0 = float(tnorm(RA_BACKEND.tangent(P, X0, eg0)))
+    if gn0 < 100.0 * cfg.gradnorm_tol:
+        X_warm, gn32 = X0, gn0
+    else:
+        # phase 1: f32 coarse
+        X_warm, gn32 = drive_tiled(TP.f32, X0, chunk=25)
     # phase 2: f64 tiles, only when the f32 phase stalled above tolerance
     # (small problems/tolerances often finish in phase 1)
-    if gn32 > cfg.gradnorm_tol:
+    if gn32 > cfg.gradnorm_tol and gn0 >= 100.0 * cfg.gradnorm_tol:
         if TP.f64 is None:
             TP.f64 = tiled.build_tiled(P, g.dims, precond=M, reg=reg,
                                        dtype=np.float64,

@@ -134,8 +134,8 @@ def riemannian_staircase(
         while (float(res.gradnorm_final) > opt_params.gradnorm_tol
                and retries < 8):
             f_prev = float(res.f_final)
+            res_prev = res
             res = solve_at_rank(X)
-            X = res.X
             retries += 1
             rel = (f_prev - float(res.f_final)) / max(1.0, abs(f_prev))
             if verbose:
@@ -144,6 +144,12 @@ def riemannian_staircase(
                     "(rel decrease %.1e)", r, retries,
                     float(res.f_final), float(res.gradnorm_final), rel,
                 )
+            if rel < 0:
+                # the f32 coarse phase re-entered from a near-critical
+                # point and regressed: keep the previous iterate
+                res = res_prev
+                break
+            X = res.X
             if rel < 1e-10:
                 break  # genuine stall: let certification decide
         if verbose:
