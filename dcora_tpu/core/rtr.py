@@ -402,8 +402,17 @@ class RTRResult(NamedTuple):
 def _rtr_impl(P, G, M, X0, cfg: RTRConfig, be=RA_BACKEND,
               radius0=None) -> RTRResult:
     max_radius = cfg.initial_radius * cfg.max_radius_factor
-    rad0 = (jnp.asarray(cfg.initial_radius) if radius0 is None
-            else jnp.asarray(radius0))
+    # The radius rides the while_loop carry at the STATE's float dtype: a
+    # strongly-typed f64 radius0 entering an f32 program would promote the
+    # tCG boundary step (eta + tau*d) to f64 and break the carry types;
+    # the cast also gives every chunked call one jit signature regardless
+    # of where the radius scalar came from.
+    _fleaves = [a for a in jax.tree.leaves(X0)
+                if hasattr(a, "dtype") and jnp.issubdtype(a.dtype,
+                                                          jnp.floating)]
+    _rdt = _fleaves[0].dtype if _fleaves else jnp.float64
+    rad0 = jnp.asarray(cfg.initial_radius if radius0 is None else radius0,
+                       dtype=_rdt)
 
     # W = X Q is the expensive part of cost, gradient, and acceptance test
     # alike; the loop carries it so each outer iteration pays exactly one
@@ -549,7 +558,14 @@ def rtr_chunked(P, G, M, X0, cfg: RTRConfig, chunk: int = 20,
     total = 0
     X = X0
     res = None
-    rad = None  # trust-region radius persists across device calls
+    # trust-region radius persists across device calls; seeded as a jnp
+    # scalar so every chunk shares ONE jit signature (radius0=None on the
+    # first call would bake the radius as a constant and compile the RTR
+    # program twice per loop); _rtr_impl re-casts it to the state dtype
+    _fl = [a for a in jax.tree.leaves(X0)
+           if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)]
+    rad = jnp.asarray(cfg.initial_radius,
+                      dtype=_fl[0].dtype if _fl else jnp.float64)
     cfg_c = dataclasses.replace(cfg, max_outer=min(chunk, cfg.max_outer))
     while total < cfg.max_outer:
         res = rtr(P, G, M, X, cfg_c, be=be, radius0=rad)

@@ -85,7 +85,8 @@ def odometry_init_global(ds, global_meas) -> RAState:
 
 
 def run(pyfg_path: str, r_max: int = 20, min_eig_tol: float = 1e-4,
-        init: str = "odometry", verbose: bool = True):
+        init: str = "odometry", verbose: bool = True,
+        checkpoint_path: str = None):
     ds = read_pyfg_file(pyfg_path)
     gm = get_global_measurements(ds)
     d = ds.dim
@@ -110,6 +111,7 @@ def run(pyfg_path: str, r_max: int = 20, min_eig_tol: float = 1e-4,
             gradnorm_tol=1e-4, RTR_iterations=200, RTR_tCG_iterations=200
         ),
         min_eig_num_tol=min_eig_tol, verbose=verbose,
+        checkpoint_path=checkpoint_path,
     )
     P = g.problem_data()
     f_rounded = float(prob.cost(P, res.rounded))

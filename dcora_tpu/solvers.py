@@ -103,7 +103,7 @@ class TileCache:
 
 def rtr_fast(g: LocalGraph, P: prob.ProblemData, M, X0: RAState,
              cfg: RTRConfig, G: Optional[RAState] = None, TP=None,
-             coarse_rel: float = 1e-4):
+             coarse_rel: float = 1e-4, skip_coarse: bool = False):
     """Mixed-precision RTR staircase: f32 tiles -> f64 tiles -> f64 edge.
 
     Three phases, each driven to the requested tolerance or its own
@@ -177,7 +177,10 @@ def rtr_fast(g: LocalGraph, P: prob.ProblemData, M, X0: RAState,
         cfg_c = dataclasses.replace(cfg_t, max_outer=chunk)
         total = 0
         prev_gn = gn_last = float("inf")
-        rad = None  # trust-region radius persists across device calls
+        # radius persists across device calls; seeded as a jnp scalar at
+        # the tile dtype so all chunks share one jit signature (see
+        # rtr_chunked / _rtr_impl)
+        rad = jnp.asarray(cfg.initial_radius, dtype=dt)
         while total < cfg.max_outer:
             res_t = rtr(TPx, Gf, None, Xf, cfg_c, be=FLAT_BACKEND,
                         radius0=rad)
@@ -210,14 +213,19 @@ def rtr_fast(g: LocalGraph, P: prob.ProblemData, M, X0: RAState,
     W0 = RA_BACKEND.applyQ(P, X0)
     eg0 = W0 if G is None else tadd(W0, G)
     gn0 = float(tnorm(RA_BACKEND.tangent(P, X0, eg0)))
-    if gn0 < 100.0 * cfg.gradnorm_tol:
+    # skip_coarse: the caller knows the iterate is already near-critical
+    # (e.g. a staircase continue-retry) — casting it to f32 for phase 1
+    # would DEGRADE it and the retry would stall just above the 100*tol
+    # gate (kitti_00/05/09 sat at gradnorm 1.3-4e-2 this way)
+    if skip_coarse or gn0 < 100.0 * cfg.gradnorm_tol:
         X_warm, gn32 = X0, gn0
     else:
         # phase 1: f32 coarse
         X_warm, gn32 = drive_tiled(TP.f32, X0, chunk=25)
     # phase 2: f64 tiles, only when the f32 phase stalled above tolerance
     # (small problems/tolerances often finish in phase 1)
-    if gn32 > cfg.gradnorm_tol and gn0 >= 100.0 * cfg.gradnorm_tol:
+    if not skip_coarse and gn32 > cfg.gradnorm_tol \
+            and gn0 >= 100.0 * cfg.gradnorm_tol:
         if TP.f64 is None:
             TP.f64 = tiled.build_tiled(P, g.dims, precond=M, reg=reg,
                                        dtype=np.float64,

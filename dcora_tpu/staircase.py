@@ -44,6 +44,12 @@ class StaircaseResult:
     f_final: float
     min_eig_history: List[float] = dataclasses.field(default_factory=list)
     elapsed_s: float = 0.0
+    # gradient norm at the certified iterate and the implied O(gradnorm)
+    # perturbation bound on the dual certificate S = Q - Lambda(X): a PSD
+    # verdict at eta is only a statement about S up to this slack, so
+    # artifacts record both (VERDICT r3 weak #3)
+    gradnorm_final: float = float("nan")
+    cert_slack: float = float("nan")
 
 
 def riemannian_staircase(
@@ -112,11 +118,11 @@ def riemannian_staircase(
         )
         from dcora_tpu.solvers import FAST_PATH_MIN_POSES, rtr_fast
 
-        def solve_at_rank(X_in):
+        def solve_at_rank(X_in, skip_coarse=False):
             nonlocal TP
             if g.n >= FAST_PATH_MIN_POSES:
                 res_, TP = rtr_fast(g, P, M, X_in, cfg, G=G_at_rank(r),
-                                    TP=TP)
+                                    TP=TP, skip_coarse=skip_coarse)
                 return res_
             G = G_at_rank(r)
             return rtr(P, G if G is not None else lifted.zeros(dims, r),
@@ -130,27 +136,33 @@ def riemannian_staircase(
         # rank per retry and can climb to r_max without ever converging
         # (the reference's RTRNewton stops on gradient norm, not on an
         # outer-iteration budget; QuadraticOptimizer.cpp:234-280).
+        # Retries stay on the exact f64 edge path (skip_coarse): kitti_00
+        # /kitti_05/kitti_09 stalled at gradnorm ~1.3-4e-2, just above
+        # rtr_fast's 100*tol warm-start gate, because every retry cast the
+        # near-critical iterate back to f32 (phase 1), regressed, and hit
+        # the rel<0 bail below.  The effective budget is therefore up to
+        # 9x the configured RTR_iterations; each retry is logged
+        # unconditionally so long-running ranks are attributable.
         retries = 0
         while (float(res.gradnorm_final) > opt_params.gradnorm_tol
                and retries < 8):
             f_prev = float(res.f_final)
             res_prev = res
-            res = solve_at_rank(X)
+            res = solve_at_rank(X, skip_coarse=True)
             retries += 1
             rel = (f_prev - float(res.f_final)) / max(1.0, abs(f_prev))
-            if verbose:
-                logger.info(
-                    "rank %d: continue %d: f=%.6f gradnorm=%.3e "
-                    "(rel decrease %.1e)", r, retries,
-                    float(res.f_final), float(res.gradnorm_final), rel,
-                )
+            logger.info(
+                "rank %d: continue %d: f=%.6f gradnorm=%.3e "
+                "(rel decrease %.1e)", r, retries,
+                float(res.f_final), float(res.gradnorm_final), rel,
+            )
             if rel < 0:
-                # the f32 coarse phase re-entered from a near-critical
-                # point and regressed: keep the previous iterate
+                # regression (precision floor): keep the previous iterate
                 res = res_prev
                 break
             X = res.X
-            if rel < 1e-10:
+            if rel < 1e-10 and float(res.gradnorm_final) >= \
+                    float(res_prev.gradnorm_final):
                 break  # genuine stall: let certification decide
         if verbose:
             logger.info(
@@ -212,8 +224,10 @@ def riemannian_staircase(
             ).X
 
     f_final = float(prob.cost(P, X))
+    gn_final = float(res.gradnorm_final)
     return StaircaseResult(
         X=X, rounded=rounded, certified=certified, final_rank=r,
         f_final=f_final, min_eig_history=min_eigs,
         elapsed_s=time.time() - t_start,
+        gradnorm_final=gn_final, cert_slack=gn_final,
     )

@@ -256,6 +256,18 @@ def verify_solution(measurements, X, d: int,
     for m in measurements:
         eid = m.edge_id()
         if eid in seen:
+            # A dropped duplicate RANGE edge is stricter in the
+            # reference: unit-sphere indexing must be unique, so
+            # Graph::addPrivateLoopClosure LOG(FATAL)s on it.  A silent
+            # drop here could mask an orphaned unit-sphere column in X —
+            # surface it loudly instead of mirroring the pose-edge path.
+            from dcora_tpu.measurements import RangeMeasurement
+
+            if isinstance(m, RangeMeasurement):
+                raise ValueError(
+                    f"duplicate range measurement for edge {eid}: the "
+                    "reference treats repeated range edges as fatal "
+                    "(unique unit-sphere indexing)")
             continue
         seen.add(eid)
         uniq.append(m)

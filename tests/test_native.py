@@ -152,9 +152,11 @@ def test_pyfg_parity(name):
 
 def test_g2o_rejects_unknown_record(tmp_path):
     # the reference parser LOG(FATAL)s on unknown tokens
-    # (DCORA_utils.cpp:355); both paths must reject
+    # (DCORA_utils.cpp:355); both paths must reject.  FIX records are
+    # *known* (skipped) since round 3 (io/g2o.py:93-96), so the fixture
+    # uses a token neither parser recognizes.
     p = tmp_path / "bad.g2o"
-    p.write_text("VERTEX_SE2 0 0 0 0\nFIX 0\n")
+    p.write_text("VERTEX_SE2 0 0 0 0\nEDGE_BOGUS 0 1\n")
     from dcora_tpu.io import read_g2o_file
 
     with pytest.raises(ValueError):

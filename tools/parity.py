@@ -146,6 +146,8 @@ def run_pgo(path, cfg):
             certified=bool(res.certified), final_rank=int(res.final_rank),
             f_final=float(res.f_final), f_rounded=f_rounded,
             elapsed_s=elapsed,
+            gradnorm_final=float(res.gradnorm_final),
+            cert_slack=float(res.cert_slack),
         ),
         T_est=T_est, T_gt=T_gt,
     )
@@ -160,8 +162,12 @@ def run_ra(path, cfg):
     from dcora_tpu.io import read_pyfg_file
 
     t0 = time.time()
+    # long staircases (tiers: 9769 vertices) survive preemption through
+    # the staircase checkpoint; resume = re-run the same command
+    ckpt = os.path.join("/tmp", f"dcora_ckpt_{os.path.basename(path)}.npz")
     res, g, gm = run_cora(path, r_max=cfg["r_max"],
-                          min_eig_tol=cfg["eta"], verbose=True)
+                          min_eig_tol=cfg["eta"], verbose=True,
+                          checkpoint_path=ckpt)
     elapsed = time.time() - t0
     ds = read_pyfg_file(path)
     gm2 = get_global_measurements(ds)
@@ -182,6 +188,8 @@ def run_ra(path, cfg):
             certified=bool(res.certified), final_rank=int(res.final_rank),
             f_final=float(res.f_final), f_rounded=f_rounded,
             elapsed_s=elapsed,
+            gradnorm_final=float(res.gradnorm_final),
+            cert_slack=float(res.cert_slack),
         ),
         T_est=T_est, T_gt=T_gt,
     )
