@@ -801,6 +801,41 @@ class Agent:
         if self.params.acceleration:
             self.initialize_acceleration()
 
+    def max_measurement_residual(self):
+        """Max unweighted residual over the active non-fixed loop
+        closures — the driver uses the team-wide max for the adaptive GNC
+        mu init, mirroring the central loop's
+        mu = barc^2 / (2 max r^2 - barc^2) (DCORA_solver.cpp:349-357)."""
+        best = None
+        for m in self.graph.active_loop_closures():
+            if m.fixedWeight or not isinstance(
+                    m, RelativePosePoseMeasurement):
+                continue
+            r = self.compute_measurement_residual(m)
+            if r is not None:
+                best = r if best is None else max(best, r)
+        return best
+
+    def num_undecided_measurements(self, w_tol: float = 1e-8) -> int:
+        """Loop closures whose GNC weight is neither accepted (~1) nor
+        rejected (~0).  The central GNC loop terminates on zero undecided
+        edges (DCORA_solver.cpp:366-405); the distributed driver extends
+        the weight-update budget until this reaches zero."""
+        cnt = 0
+        for m in self.graph.active_loop_closures():
+            if m.fixedWeight or not isinstance(
+                    m, RelativePosePoseMeasurement):
+                continue
+            if w_tol <= m.weight <= 1 - w_tol:
+                cnt += 1
+        return cnt
+
+    def set_gnc_mu(self, mu: float):
+        """Override the GNC control parameter (driver-coordinated adaptive
+        init: every agent must share one mu for the weights to agree on
+        shared edges)."""
+        self.robust_cost.mu = float(mu)
+
     def set_measurement_weight(self, edge_id, weight: float,
                                fixed_weight: bool = False) -> bool:
         m = self.graph.find_measurement(edge_id)

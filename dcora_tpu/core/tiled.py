@@ -346,7 +346,8 @@ def build_tiled(P: prob.ProblemData, dims: ProblemDims, T: int = 128,
                 precond: Optional[prob.Preconditioner] = None,
                 reg: float = 0.1,
                 with_pallas: Optional[bool] = None,
-                tile_precond: bool = False) -> TiledProblem:
+                tile_precond: bool = False,
+                as_numpy: bool = False) -> TiledProblem:
     """Host-side: RCM order, tile the scalar Q, invert the Jacobi blocks.
 
     `dtype` selects the tile precision (f32 for the TPU hot path; f64 for
@@ -369,6 +370,11 @@ def build_tiled(P: prob.ProblemData, dims: ProblemDims, T: int = 128,
             from dcora_tpu.core.pallas_spmm import pallas_available
 
             with_pallas = pallas_available() and dtype == np.float32
+    # as_numpy keeps every leaf a host numpy array: the fleet builder
+    # (parallel.rbcd._build_tiled_batched) pads and stacks per-agent
+    # problems on the host and ships ONE [A, ...] transfer per leaf
+    # instead of A small ones
+    conv = (lambda a: a) if as_numpy else jnp.asarray
     n, l, b, d = dims.n, dims.l, dims.b, dims.d
     dh = d + 1
     pose_rank, sph_rank, lmk_rank = _rcm_node_order(P, dims)
@@ -389,21 +395,24 @@ def build_tiled(P: prob.ProblemData, dims: ProblemDims, T: int = 128,
     nt = max(-(-k // T), 1)
     kpad = nt * T
 
-    # dedupe scalar entries, then fill dense tiles
-    import scipy.sparse as sp
-    A = sp.coo_matrix((vals, (rows, cols)), shape=(k, k)).tocsr()
-    A.sum_duplicates()
-    Ac = A.tocoo()
-    tr = (Ac.row // T).astype(np.int64)
-    tc = (Ac.col // T).astype(np.int64)
+    # Fill dense tiles straight from the raw COO with one bincount:
+    # duplicate scalar entries accumulate in the bincount itself, so the
+    # former scipy coo->csr->sum_duplicates->coo round-trip (~0.6 s per
+    # city10000-sized agent) is unnecessary, and bincount is ~6x faster
+    # than np.add.at for the fill (measured 1.33 s -> 0.2 s).
+    tr = (rows // T).astype(np.int64)
+    tc = (cols // T).astype(np.int64)
     keys, inv = np.unique(tr * nt + tc, return_inverse=True)
     trow = (keys // nt).astype(np.int32)
     tcol = (keys % nt).astype(np.int32)
     ntiles = max(len(keys), 1)
-    dense = np.zeros((ntiles, T, T), np.float64)
     if len(keys):
-        np.add.at(dense, (inv, Ac.row - tr * T, Ac.col - tc * T), Ac.data)
+        flat = inv * (T * T) + (rows - tr * T) * T + (cols - tc * T)
+        dense = np.bincount(
+            flat, weights=vals, minlength=ntiles * T * T
+        ).reshape(ntiles, T, T)
     else:
+        dense = np.zeros((ntiles, T, T), np.float64)
         trow = np.zeros(1, np.int32)
         tcol = np.zeros(1, np.int32)
     # sort by output tile (column) for a cheap segment-sum
@@ -430,16 +439,16 @@ def build_tiled(P: prob.ProblemData, dims: ProblemDims, T: int = 128,
 
         up = trow <= tcol
         grp_buckets = tuple(
-            (jnp.asarray(gr), jnp.asarray(gc), jnp.asarray(gw))
+            (conv(gr), conv(gc), conv(gw))
             for gr, gc, gw in build_row_groups_bucketed(
                 trow[up], tcol[up], dense[up], T=T)
         )
     Q = TiledQ(
-        tiles=jnp.asarray(dense.astype(dtype)),
-        tile_rows=jnp.asarray(trow),
-        tile_cols=jnp.asarray(tcol),
-        ra_of_fl=jnp.asarray(ra_of_fl.astype(np.int32)),
-        fl_of_ra=jnp.asarray(fl_of_ra.astype(np.int32)),
+        tiles=conv(dense.astype(dtype, copy=False)),
+        tile_rows=conv(trow),
+        tile_cols=conv(tcol),
+        ra_of_fl=conv(ra_of_fl.astype(np.int32)),
+        fl_of_ra=conv(fl_of_ra.astype(np.int32)),
         grp_buckets=grp_buckets,
     )
 
@@ -450,9 +459,9 @@ def build_tiled(P: prob.ProblemData, dims: ProblemDims, T: int = 128,
     # scatter/cholesky on TPU: ~60 s on city10000 vs ~50 ms here).
     if precond is not None:
         perm = np.argsort(pose_rank)  # original pose index at each RCM slot
-        pose_inv = jnp.asarray(
-            np.asarray(precond.pose_inv)[perm]
-            .transpose(1, 2, 0).astype(dtype))
+        pose_inv = conv(
+            np.ascontiguousarray(np.asarray(precond.pose_inv)[perm]
+                                 .transpose(1, 2, 0)).astype(dtype))
         sph_d = np.asarray(precond.sph_diag)
         lmk_d = np.asarray(precond.lmk_diag)
         sph_inv = np.zeros(max(l, 0))
@@ -472,8 +481,8 @@ def build_tiled(P: prob.ProblemData, dims: ProblemDims, T: int = 128,
             vals[in_pose],
         )
         pose_blocks = pose_blocks + reg * np.eye(dh)
-        pose_inv = jnp.asarray(
-            np.linalg.inv(pose_blocks).transpose(1, 2, 0).astype(dtype))
+        pose_inv = conv(np.ascontiguousarray(
+            np.linalg.inv(pose_blocks).transpose(1, 2, 0)).astype(dtype))
         tail_diag = np.zeros(max(l + b, 1))
         on_tail = (rows >= n * dh) & (rows == cols)
         np.add.at(tail_diag, rows[on_tail] - n * dh, vals[on_tail])
@@ -488,7 +497,7 @@ def build_tiled(P: prob.ProblemData, dims: ProblemDims, T: int = 128,
     diag_inv = btd_ltil = btd_sinv = None
     if tile_precond == "btd":
         btd_ltil, btd_sinv = _factor_btd(dense, trow, tcol, nt, T, reg,
-                                         dtype)
+                                         dtype, conv=conv)
     elif tile_precond:
         # tile-granularity block-Jacobi: invert the regularized T x T
         # diagonal tiles (f64 inversion, stored at the tile dtype).
@@ -497,19 +506,20 @@ def build_tiled(P: prob.ProblemData, dims: ProblemDims, T: int = 128,
         on_diag = trow == tcol
         diag_blocks[trow[on_diag]] = dense[on_diag]
         diag_blocks += reg * np.eye(T)
-        diag_inv = jnp.asarray(np.linalg.inv(diag_blocks).astype(dtype))
+        diag_inv = conv(np.linalg.inv(diag_blocks).astype(dtype))
     return TiledProblem(
         Q=Q, meta=meta,
         pose_inv=pose_inv,
-        sph_inv=jnp.asarray(sph_inv.astype(dtype)),
-        lmk_inv=jnp.asarray(lmk_inv.astype(dtype)),
+        sph_inv=conv(sph_inv.astype(dtype)),
+        lmk_inv=conv(lmk_inv.astype(dtype)),
         diag_inv=diag_inv,
         btd_ltil=btd_ltil,
         btd_sinv=btd_sinv,
     )
 
 
-def _factor_btd(dense, trow, tcol, nt: int, T: int, reg: float, dtype):
+def _factor_btd(dense, trow, tcol, nt: int, T: int, reg: float, dtype,
+                conv=jnp.asarray):
     """Block-LDL^T of the regularized block-tridiagonal part of Q.
 
     M = (I + L~) S (I + L~)^T with L~_i = L_i inv(S_{i-1}) and
@@ -543,8 +553,7 @@ def _factor_btd(dense, trow, tcol, nt: int, T: int, reg: float, dtype):
             Si += (floor - w[0]) * np.eye(T)
         Sinv[i] = np.linalg.inv(0.5 * (Si + Si.T))
         Sprev_inv = Sinv[i]
-    return (jnp.asarray(Ltil.astype(dtype)),
-            jnp.asarray(Sinv.astype(dtype)))
+    return (conv(Ltil.astype(dtype)), conv(Sinv.astype(dtype)))
 
 
 # --------------------------------------------------------------------------

@@ -167,6 +167,7 @@ def run(num_robots: int, g2o_path: str, acceleration: bool = True,
         robust_cost_params: Optional[RobustCostParameters] = None,
         robust_weight_updates: int = 10,  # reference default (Agent.h:119)
         robust_inner_iters: int = 30,  # reference default (Agent.h:121)
+        robust_update_gradnorm_gate: Optional[float] = None,
         adaptive_stop: bool = True,
         cert_slack_c: float = 1.0) -> MultiRobotResult:
     """When ``robust_cost_params`` selects a non-L2 cost, the distributed
@@ -242,6 +243,15 @@ def run(num_robots: int, g2o_path: str, acceleration: bool = True,
     # explicit GNC weight state carried across ranks (fresh agents are
     # re-weighted from this dict; see _collect_weights)
     weight_state: Dict[tuple, float] = {}
+    # distributed-GNC coordination state (see the robust block below):
+    # weight updates fire only near convergence of the CURRENT weighted
+    # problem, mu is initialized adaptively from the team max residual,
+    # and the update budget extends while undecided edges remain
+    update_gate = (robust_update_gradnorm_gate
+                   if robust_update_gradnorm_gate is not None
+                   else 10.0 * rgrad_norm_tol)
+    mu_initialized = False
+    extra_updates = 0
 
     # optimize at every rank entered, including an escape landing at r_max
     # (reference optimizes each entered rank; see staircase.py note)
@@ -320,15 +330,52 @@ def run(num_robots: int, g2o_path: str, acceleration: bool = True,
                     for b_ in agents:
                         if b_.id != a.id:
                             a.set_neighbor_status(b_.get_status())
+                # Fire weight updates only once the CURRENT weighted
+                # problem is near-converged (central gradnorm below the
+                # gate).  The reference reaches the same effect through
+                # the all-robots readyToTerminate gossip (Agent.cpp:
+                # 1280-1339); with sequential selection the fixed
+                # inner-iteration cap preempted that here, so residuals
+                # were measured at an unconverged estimate — 107 false
+                # rejections on sphere2500.  A hard cap (5x the inner
+                # budget) keeps a stalled round from blocking GNC.
+                hard_cap = 5 * robust_inner_iters
+                gate_ok = (gradnorm < update_gate) or any(
+                    a.robust_opt_inner_iter >= hard_cap for a in agents)
                 any_update = False
-                for a in agents:
-                    if a.should_update_measurement_weights():
+                if gate_ok:
+                    ready = [a for a in agents
+                             if a.should_update_measurement_weights()]
+
+                    def _refresh_neighbors(a):
                         for b_ in agents:
                             if b_.id == a.id:
                                 continue
                             dicts = b_.get_shared_state_dicts()
                             if dicts is not None:
                                 a.update_neighbor_states(b_.id, dicts[0])
+
+                    if ready and not mu_initialized:
+                        # adaptive global mu init from the team max
+                        # residual (central analogue: mu = barc^2 /
+                        # (2 max r^2 - barc^2), DCORA_solver.cpp:349-357);
+                        # every agent shares one mu so the weights agree
+                        # on shared edges
+                        for a in agents:
+                            _refresh_neighbors(a)
+                        rs = [a.max_measurement_residual() for a in agents]
+                        rs = [x for x in rs if x is not None]
+                        barc_sq = robust_cost_params.GNCBarc ** 2
+                        if rs and 2 * max(rs) ** 2 > barc_sq:
+                            mu0 = barc_sq / (2 * max(rs) ** 2 - barc_sq)
+                            for a in agents:
+                                a.set_gnc_mu(mu0)
+                            logger.info(
+                                "adaptive GNC mu init: max residual %.3f"
+                                " -> mu %.3e", max(rs), mu0)
+                        mu_initialized = True
+                    for a in ready:
+                        _refresh_neighbors(a)
                         a.update_measurement_weights()
                         any_update = True
                 if any_update:
@@ -338,6 +385,24 @@ def run(num_robots: int, g2o_path: str, acceleration: bool = True,
                                    num_robots, local=False)
                     central.set_measurements(measurements)
                     P = central.problem_data()
+                # budget extension: once every agent reaches its cap,
+                # keep scheduling updates while undecided edges remain
+                # (the central loop's no-undecided-edges termination,
+                # DCORA_solver.cpp:366-405)
+                if any_update and all(
+                        a.weight_update_count >=
+                        a.params.robustOptNumWeightUpdates
+                        for a in agents):
+                    undecided = sum(a.num_undecided_measurements()
+                                    for a in agents)
+                    if undecided > 0 and \
+                            extra_updates < 2 * robust_weight_updates:
+                        for a in agents:
+                            a.params.robustOptNumWeightUpdates += 1
+                        extra_updates += 1
+                        logger.info(
+                            "GNC: %d undecided edges at budget; "
+                            "extending (+%d)", undecided, extra_updates)
 
             # assemble central estimate
             rots, trns = [], []

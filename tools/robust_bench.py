@@ -132,17 +132,21 @@ def main():
         cpath = os.path.join(cache, f"{name}_corrupted.g2o")
         write_g2o(cpath, corrupted, ds.dim)
         t0 = time.time()
-        # mu schedule: the reference's distributed defaults (10 updates x
-        # 1.4 from 1e-4) cannot close the TLS undecided band -- after 10
-        # steps mu ~ 3e-3 leaves the w=1 window at r <= 0.27*barc, so
-        # noisy inliers stay partial.  25 updates from 1e-3 reach
-        # mu ~ 4.4, matching the centralized loop's effective schedule.
+        # mu schedule: adaptive init from the team max residual (driver
+        # computes mu0 = barc^2/(2 max r^2 - barc^2) like the central
+        # loop); GNCMaxNumIters=60 lets the x1.4 ramp run as far as the
+        # undecided-edge extension needs (the reference's 20-step cap
+        # froze mu below the point where the TLS undecided band closes).
+        # Weight updates are gradnorm-gated by the driver so residuals
+        # are measured at a converged estimate of the current weighted
+        # problem — the round-3 run updated on a fixed 60-round cadence
+        # and falsely rejected 107 clean edges.
         res = run_mr(
-            args.robots, cpath, r_min=5, r_max=10, num_iters=3000,
+            args.robots, cpath, r_min=5, r_max=10, num_iters=6000,
             robust_inner_iters=60, robust_weight_updates=25,
             robust_cost_params=RobustCostParameters(
                 costType=RobustCostType.GNC_TLS, GNCBarc=5.0,
-                GNCInitMu=1e-3,
+                GNCMaxNumIters=60,
             ),
         )
         # classify from the driver's returned global weights
