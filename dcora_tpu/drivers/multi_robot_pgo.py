@@ -458,6 +458,22 @@ def run(num_robots: int, g2o_path: str, acceleration: bool = True,
         )
         final_theta = float(theta)
         cert_slack = cert_slack_c * gradnorm
+        if is_psd and adaptive_stop and tightenings < 4 \
+                and gradnorm > 10.0 * min_eig_num_tol:
+            # PSD verdict above the gradient-noise floor: S = Q - Lambda(X)
+            # carries an O(gradnorm) perturbation, so a proof at eta under
+            # a gradient >> eta is a proof about a noticeably perturbed S
+            # (VERDICT r3 weak #3).  Drive the RBCD gradient down to
+            # ~10*eta before trusting the certificate.
+            tol_eff = max(gradnorm / 10.0, 10.0 * min_eig_num_tol)
+            tightenings += 1
+            logger.info(
+                "rank %d PSD at gradnorm %.3e > 10*eta=%.1e: tightening "
+                "RBCD tol to %.1e before certifying", r, gradnorm,
+                10.0 * min_eig_num_tol, tol_eff,
+            )
+            Xcurr = Xopt
+            continue
         if not is_psd and adaptive_stop and tightenings < 4 \
                 and gradnorm < tol_eff and theta > -cert_slack:
             # inconclusive: |theta| within the O(gradnorm) certificate

@@ -91,8 +91,12 @@ CONFIGS = {
     "single_drone": dict(kind="ra", file="single_drone.pyfg", r_max=20,
                          eta=1e-4),
     "tiers": dict(kind="ra", file="tiers.pyfg", r_max=20, eta=1e-4),
+    # num_iters raised from the demo's 1000: the sequential greedy RBCD
+    # needs ~5k iterations to pass the PSD gradient-noise gate (10*eta)
+    # once the adaptive stop tightens below the demo tol 0.1
     "multi_robot_smallGrid3D": dict(kind="dc2pgo", file="smallGrid3D.g2o",
-                                    robots=5, r_min=5, r_max=10, eta=1e-3),
+                                    robots=5, r_min=5, r_max=10, eta=1e-3,
+                                    num_iters=4000),
     # multi-robot DCORA (2 robots A/B in the file) — the distributed RA
     # path of MultiRobotExample_RASLAM.cpp.  Uses the demo stop tol 0.1
     # (MultiRobotExample_RASLAM.cpp:101): the adaptive RBCD->certificate
@@ -204,7 +208,8 @@ def run_dc2pgo(path, cfg):
     ds = read_g2o_file(path)
     t0 = time.time()
     res = run_mr(cfg["robots"], path, r_min=cfg["r_min"],
-                 r_max=cfg["r_max"], min_eig_num_tol=cfg["eta"])
+                 r_max=cfg["r_max"], min_eig_num_tol=cfg["eta"],
+                 num_iters=cfg.get("num_iters", 1000))
     elapsed = time.time() - t0
     T_gt = (np.stack([np.asarray(ds.ground_truth_poses[k])
                       for k in sorted(ds.ground_truth_poses)])
