@@ -446,8 +446,13 @@ def _min_eig_host(P: ProblemData, C: Certificate, dims: ProblemDims,
     v, converged = None, False
     for ncv in (min(k, 96), min(k, 256)):
         try:
+            # bounded restart budget: in the saddle case the extreme of B
+            # is isolated and ARPACK converges in a few cycles; in the
+            # clustered (near-PSD) case no budget converges and the LDL^T
+            # early-return above already settled PSD — an unbounded cap
+            # (40*k) only buys a multi-minute grind before the fallback
             _, vecs = eigsh(B, k=1, which="LA", tol=1e-7,
-                            ncv=ncv, maxiter=40 * k,
+                            ncv=ncv, maxiter=500,
                             v0=rng.standard_normal(k))
             v, converged = vecs[:, 0], True
             break

@@ -173,10 +173,14 @@ def riemannian_staircase(
         if checkpoint_path:
             save_checkpoint(checkpoint_path, X, r)
 
+        t_cert = time.time()
         is_psd, theta, v = fast_verification(
             P, X, min_eig_num_tol, num_lanczos,
             TP=(TP.f32 if TP is not None else None),
         )
+        if verbose:
+            logger.info("rank %d: certification %.1fs (psd=%s)", r,
+                        time.time() - t_cert, is_psd)
         if is_psd:
             certified = True
             break
@@ -202,7 +206,11 @@ def riemannian_staircase(
         if checkpoint_path:
             save_checkpoint(checkpoint_path, X, r)
 
+    t_round = time.time()
     rounded = round_solution(X)
+    if verbose:
+        logger.info("rounding %.1fs", time.time() - t_round)
+    t_refine = time.time()
     if refine:
         cfg = RTRConfig(
             gradnorm_tol=opt_params.gradnorm_tol,
@@ -223,6 +231,8 @@ def riemannian_staircase(
                 M, rounded, cfg
             ).X
 
+    if refine and verbose:
+        logger.info("rank-d refine %.1fs", time.time() - t_refine)
     f_final = float(prob.cost(P, X))
     gn_final = float(res.gradnorm_final)
     return StaircaseResult(

@@ -204,8 +204,15 @@ def certificate_min_eig(Q: sp.csr_matrix, Xf: np.ndarray, n: int,
     B = (shift * sp.identity(k_dim, format="csc") - S).tocsr()
     rng = np.random.default_rng(0)
     try:
+        # maxiter counts ARPACK restart cycles (~ncv matvecs each).  At a
+        # certified optimum the top of B is a CLUSTER, where ARPACK tends
+        # to non-convergence no matter the budget — the old 40*k cap spun
+        # for >30 min on kitti_00 (k=13.6k) before the fallback fired.
+        # The eigenpair here is diagnostic (theta/resid); the PSD decision
+        # is fail-closed through certificate_psd_proof's LDL^T witness,
+        # so a bounded budget costs soundness nothing.
         vals, vecs = eigsh(B, k=1, which="LA", tol=1e-7,
-                           ncv=min(k_dim, 96), maxiter=40 * k_dim,
+                           ncv=min(k_dim, 96), maxiter=300,
                            v0=rng.standard_normal(k_dim))
         v = vecs[:, 0]
     except ArpackNoConvergence as e:
@@ -213,7 +220,7 @@ def certificate_min_eig(Q: sp.csr_matrix, Xf: np.ndarray, n: int,
             v = e.eigenvectors[:, -1]
         else:
             Xb = rng.standard_normal((k_dim, 4))
-            w, Vb = lobpcg(B, Xb, tol=1e-6, maxiter=2000, largest=True)
+            w, Vb = lobpcg(B, Xb, tol=1e-6, maxiter=500, largest=True)
             v = Vb[:, int(np.argmax(w))]
     v = v / np.linalg.norm(v)
     Sv = S @ v

@@ -274,8 +274,10 @@ def run_config(name, data_dir):
 
     from dcora_tpu import verification as V
 
+    t_v = time.time()
     rep = V.verify_solution(out["measurements"], out["X"], out["d"],
                             eta=cfg["eta"])
+    rep["verify_indep_s"] = time.time() - t_v
     rec = dict(cfg=dict(cfg), **out["result"], **rep)
     if out.get("T_est") is not None and out.get("T_gt") is not None \
             and len(out["T_est"]) == len(out["T_gt"]):
