@@ -400,6 +400,46 @@ def ldl_psd_proof(S) -> Optional[bool]:
     return None
 
 
+def _inertia_bracket_min_eig(S, eta: float, max_doublings: int = 40,
+                             bisections: int = 10):
+    """Bracket -lambda_min(S) using the LDL^T inertia oracle.
+
+    Given that ldl_psd_proof(S + eta*I) returned False (a proven negative
+    eigenvalue below -eta), find (lo, hi) with lambda_min in [-hi, -lo]
+    by doubling t until S + t*I factors PD, then bisecting.  Each probe
+    is one sparse factorization — the same primitive the reference's
+    CHOLMOD quick-return uses (DCORA_utils.cpp:1737-1747), so ~a dozen
+    probes cost about a dozen PSD checks.  Returns None if the oracle
+    never concludes True (pathological pivoting)."""
+    import scipy.sparse as sp
+
+    k = S.shape[0]
+    eye = sp.identity(k, format="csc")
+    lo = eta
+    hi = None
+    t = max(2.0 * eta, 1e-10)
+    for _ in range(max_doublings):
+        pr = ldl_psd_proof(S + t * eye)
+        if pr is True:
+            hi = t
+            break
+        if pr is False:
+            lo = t
+        t *= 2.0
+    if hi is None:
+        return None
+    for _ in range(bisections):
+        mid = 0.5 * (lo + hi)
+        pr = ldl_psd_proof(S + mid * eye)
+        if pr is True:
+            hi = mid
+        elif pr is False:
+            lo = mid
+        else:
+            break
+    return lo, hi
+
+
 def _min_eig_host(P: ProblemData, C: Certificate, dims: ProblemDims,
                   eta: float = 0.0
                   ) -> Tuple[bool, float, Optional[np.ndarray]]:
@@ -436,7 +476,34 @@ def _min_eig_host(P: ProblemData, C: Certificate, dims: ProblemDims,
         proof = ldl_psd_proof(S + eta * sp.identity(k, format="csr"))
         if proof is True:
             return True, 0.0, None
-        # proof False/None: resolve the actual bottom eigenpair below
+        if proof is False:
+            # Inertia PROVES lambda_min < -eta: the verdict is final and
+            # must not be overridden by any eigen estimate (on tiers.pyfg
+            # a spectrum-shifted ARPACK run "converged" in B-space at
+            # absolute tolerance tol*shift >> eta to a clustered mix with
+            # Rayleigh +0.013 while the true bottom eigenvalue was
+            # -3.2e-3 — and falsely certified the rank).  Bracket
+            # lambda_min with the same factorization oracle and pull an
+            # escape direction by shift-invert inside the bracket: any v
+            # with v^T S v < -eta is a sound descent direction.
+            br = _inertia_bracket_min_eig(S, eta)
+            if br is not None:
+                lo, hi = br
+                sigma = -0.5 * (lo + hi)
+                try:
+                    _, Vv = eigsh(S, k=1, sigma=sigma, which="LM",
+                                  maxiter=1000)
+                    v = Vv[:, 0]
+                    v = v / np.linalg.norm(v)
+                    Sv = S @ v
+                    theta = float(v @ Sv)
+                    if theta + eta < 0:
+                        return False, theta, v
+                except Exception:  # noqa: BLE001
+                    pass
+                return False, -0.5 * (lo + hi), None
+            return False, -eta, None
+        # proof None (inconclusive): resolve the bottom eigenpair below
 
     lam_max = float(eigsh(S, k=1, which="LA", return_eigenvectors=False,
                           tol=1e-4, ncv=min(k, 50))[0])
@@ -471,9 +538,14 @@ def _min_eig_host(P: ProblemData, C: Certificate, dims: ProblemDims,
     resid = float(np.linalg.norm(Sv - theta * v))
     if theta + eta < 0:
         return False, theta, v  # sound: theta >= lambda_min
-    # accept a PSD verdict only from a converged extreme eigenpair
+    # Accept a PSD verdict only when the S-space residual is tiny.
+    # ARPACK's own convergence flag is NOT sufficient: its criterion is
+    # relative to B = shift*I - S whose scale is lam_max, so a "converged"
+    # vector can carry O(tol * lam_max) >> eta Rayleigh error in S-space
+    # (the tiers.pyfg false certificate).
     res_ok = resid <= max(1e-8 * max(abs(lam_max), 1.0), 1e-12)
-    if converged or res_ok:
+    del converged  # diagnostic only; never a soundness basis
+    if res_ok:
         return theta + eta >= 0, theta, v
     import logging
 

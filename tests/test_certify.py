@@ -138,3 +138,33 @@ def test_tiled_lanczos_matches_dense_min_eig(data_dir):
     if not is_psd:
         assert theta < 0
         np.testing.assert_allclose(theta, theta_ref, rtol=0.2)
+
+
+def test_inertia_proof_is_final_and_bracketed():
+    """An LDL^T inertia proof of indefiniteness must never be overridden
+    by an eigen estimate (tiers.pyfg regression: a spectrum-shifted ARPACK
+    run 'converged' in B-space to a clustered mix with Rayleigh +0.013
+    while lambda_min = -7.7e-3, and falsely certified the rank)."""
+    import scipy.sparse as sp
+
+    from dcora_tpu.core.certify import (
+        _inertia_bracket_min_eig,
+        ldl_psd_proof,
+    )
+
+    rng = np.random.default_rng(3)
+    k = 400
+    # spectrum: one decisively negative eigenvalue below -eta, a cluster
+    # of near-zeros, and a large positive bulk (the tiers shape)
+    eigs = np.concatenate([
+        [-3.2e-3], rng.uniform(-1e-8, 1e-8, 20),
+        rng.uniform(1.0, 1e4, k - 21),
+    ])
+    Qr, _ = np.linalg.qr(rng.standard_normal((k, k)))
+    S = sp.csr_matrix(Qr @ np.diag(eigs) @ Qr.T)
+    eta = 1e-4
+
+    assert ldl_psd_proof(S + eta * sp.identity(k, format="csc")) is False
+    lo, hi = _inertia_bracket_min_eig(S, eta)
+    assert lo <= 3.2e-3 <= hi * (1 + 1e-9)
+    assert hi <= 3.2e-3 * 4  # bracket is tight, not a doubling overshoot
