@@ -146,7 +146,24 @@ def rtr_fast(g: LocalGraph, P: prob.ProblemData, M, X0: RAState,
     if g.l > 0 and mode != "pose":
         tile_pc = "btd" if mode == "btd" else True
     else:
-        tile_pc = False
+        # PGO preconditioner policy by graph shape.  Chain-like graphs
+        # (few loop closures relative to n: the kitti series has ~40 LCs
+        # over ~4.6k poses) leave the per-pose Jacobi nearly useless —
+        # measured on kitti_02 at rank 5: 60 RTR outers reach gradnorm
+        # 7.6 under pose-Jacobi vs 1.9e-7 under the BTD band factor
+        # (which is essentially exact on a chain).  Loop-dense graphs
+        # (city10000: ~1.07 LCs/pose) converge fine under the cheaper
+        # per-pose blocks, and the BTD's sequential nt-step scan would
+        # only slow their tCG.  DCORA_PGO_PRECOND=btd|tile|pose
+        # overrides the heuristic.
+        mode_pgo = os.environ.get("DCORA_PGO_PRECOND", "")
+        if mode_pgo:
+            tile_pc = ("btd" if mode_pgo == "btd"
+                       else True if mode_pgo == "tile" else False)
+        else:
+            m_pp = int(P.pp_ri.shape[0])
+            lc_ratio = max(m_pp - (g.n - 1), 0) / max(g.n, 1)
+            tile_pc = "btd" if lc_ratio < 0.2 else False
     reg = precond_reg(g, P) if tile_pc else 0.1
     if TP.f32 is None:
         TP.f32 = tiled.build_tiled(P, g.dims, precond=M, reg=reg,
