@@ -186,11 +186,30 @@ def certificate_min_eig(Q: sp.csr_matrix, Xf: np.ndarray, n: int,
     S = certificate_matrix(Q, Xf, n, l, d)
     k_dim = S.shape[0]
 
+    from scipy.sparse.linalg import ArpackNoConvergence, eigsh, lobpcg
+
+    # First try shift-invert just below zero: the eigenvalue nearest
+    # sigma is exactly the bottom of the spectrum in both interesting
+    # regimes (certified: near-zero cluster; saddle: the negative
+    # eigenvalue), and factorized iteration converges there even when
+    # the cluster defeats the spectrum-shifted Lanczos below.  sigma
+    # uses the caller's tol when given, else a spectral-scale guess.
+    sigma = -(2.0 * tol) if tol > 0 else -1e-6
+    try:
+        w_si, v_si = eigsh(S, k=1, sigma=sigma, which="LM", maxiter=500)
+        v = v_si[:, 0] / np.linalg.norm(v_si[:, 0])
+        Sv = S @ v
+        theta = float(v @ Sv)
+        resid = float(np.linalg.norm(Sv - theta * v))
+        if resid <= max(1e-8 * max(abs(theta), 1.0), 1e-10):
+            return theta, resid
+    except Exception:  # noqa: BLE001  (singular shift, ARPACK failure)
+        pass
+
     # Spectrum-shifted Lanczos (the SE-Sync strategy the reference uses,
     # DCORA_utils.cpp:1807-1896): ask for the largest-magnitude eigenvalue
     # first, then the smallest of (S - lam_max I) recovers lambda_min
     # robustly even when S >= 0 with a near-zero bottom eigenvalue.
-    from scipy.sparse.linalg import ArpackNoConvergence, eigsh, lobpcg
 
     lam_max = float(eigsh(S, k=1, which="LA", return_eigenvectors=False,
                           tol=1e-4, ncv=min(k_dim, 50))[0])
@@ -283,7 +302,7 @@ def verify_solution(measurements, X, d: int,
     Xf = np.asarray(lifted.to_flat(X), dtype=np.float64)
     f = 0.5 * float(np.sum((Xf @ Q) * Xf))
     gradnorm = riemannian_gradnorm(Q, Xf, n, l, d)
-    min_eig, min_eig_resid = certificate_min_eig(Q, Xf, n, l, d)
+    min_eig, min_eig_resid = certificate_min_eig(Q, Xf, n, l, d, tol=eta)
     # certified = a converged eigenpair says lambda_min >= -eta, OR an
     # actual LDL^T factorization of S + eta*I succeeds (fail-closed: an
     # unconverged Rayleigh quotient alone never certifies)
