@@ -140,16 +140,27 @@ def chordal_initialization(
     assert measurements
     d = measurements[0].t.shape[0]
     n = max(max(m.p1, m.p2) for m in measurements) + 1
-    ii = jnp.asarray([m.p1 for m in measurements], dtype=jnp.int32)
-    jj = jnp.asarray([m.p2 for m in measurements], dtype=jnp.int32)
-    Rm = jnp.asarray(np.stack([m.R for m in measurements]))
-    tm = jnp.asarray(np.stack([m.t for m in measurements]))
-    kappa = jnp.asarray([m.kappa * m.weight for m in measurements])
-    tau = jnp.asarray([m.tau * m.weight for m in measurements])
+    # The two CG solves run as ONE jitted call each with a maxiter up to
+    # 20n — on a tunneled TPU a single multi-minute device program trips
+    # the RPC watchdog and crashes the worker (observed on g2o100k,
+    # n=97k).  Init is a host-side one-off, so pin it to the CPU backend
+    # unconditionally; this also skips two remote compiles per shape.
+    cpu0 = jax.devices("cpu")[0] if jax.default_backend() != "cpu" else None
+    import contextlib
 
-    X = _chordal_rotations(ii, jj, Rm, kappa, n)
-    R = rotation_project(X)
-    t = _recover_translations(ii, jj, tm, tau, R, n)
+    ctx = (jax.default_device(cpu0) if cpu0 is not None
+           else contextlib.nullcontext())
+    with ctx:
+        ii = jnp.asarray([m.p1 for m in measurements], dtype=jnp.int32)
+        jj = jnp.asarray([m.p2 for m in measurements], dtype=jnp.int32)
+        Rm = jnp.asarray(np.stack([m.R for m in measurements]))
+        tm = jnp.asarray(np.stack([m.t for m in measurements]))
+        kappa = jnp.asarray([m.kappa * m.weight for m in measurements])
+        tau = jnp.asarray([m.tau * m.weight for m in measurements])
+
+        X = _chordal_rotations(ii, jj, Rm, kappa, n)
+        R = rotation_project(X)
+        t = _recover_translations(ii, jj, tm, tau, R, n)
 
     T = np.zeros((n, d, d + 1))
     T[:, :, :d] = np.asarray(R)
