@@ -322,13 +322,17 @@ def _grouped_kernel(grows_ref, gcols_ref, x_ref, wide_hbm, out_ref, *,
 
             get_dma(slot, gi).wait()
             r = grows_ref[gi]
+            # gcols is FLATTENED i32[ngroups*G]: a 2-D SMEM array pads
+            # every G-int row to a full 512-byte lane, which overflows
+            # the 1 MB scalar window at g2o100k scale (2103 groups
+            # -> 1.05 MB for 25 KB of indices)
             ro = pl.multiple_of(r * T, T)
             Xr = x_ref[:, pl.ds(ro, T)]
             # forward: one wide-N matmul covers all G tiles of the group
             Y = jnp.dot(Xr, scratch[slot],
                         preferred_element_type=jnp.float32)  # [r_pad, G*T]
             for j in range(G):
-                c = gcols_ref[gi, j]
+                c = gcols_ref[gi * G + j]
                 co = pl.multiple_of(c * T, T)
                 out_ref[:, pl.ds(co, T)] += Y[:, j * T:(j + 1) * T]
                 # gather the symmetric operand; zero the slot when the
@@ -365,6 +369,7 @@ def spmm_grouped(grows: jax.Array, gcols: jax.Array, wide: jax.Array,
     (from build_row_groups); Xf: f32[r_pad, kpad].
     """
     ngroups = wide.shape[0]
+    gcols = gcols.reshape(-1)  # flat SMEM layout (see kernel comment)
     return pl.pallas_call(
         functools.partial(_grouped_kernel, T=T, G=G, ngroups=ngroups,
                           interpret=interpret),
