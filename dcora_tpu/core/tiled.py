@@ -585,13 +585,49 @@ def apply_tiled(TP: TiledProblem, Xf: jax.Array) -> jax.Array:
                 T=meta.T, G=TP.Q.grp_cols.shape[1],
             )
     Xt = Xf.reshape(r_pad, meta.nt, meta.T).transpose(1, 0, 2)  # [nt, r, T]
-    Xg = Xt[TP.Q.tile_rows]                                     # [m, r, T]
-    Yg = jax.lax.dot_general(
-        Xg, TP.Q.tiles.astype(Xf.dtype),
-        (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=Xf.dtype,
-    )
-    W = jax.ops.segment_sum(Yg, TP.Q.tile_cols, num_segments=meta.nt)
+    m = int(TP.Q.tiles.shape[0])
+    import os
+
+    CH = int(os.environ.get("DCORA_TILE_CHUNK", "2048"))
+    if m <= CH:
+        Xg = Xt[TP.Q.tile_rows]                                 # [m, r, T]
+        Yg = jax.lax.dot_general(
+            Xg, TP.Q.tiles.astype(Xf.dtype),
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=Xf.dtype,
+        )
+        W = jax.ops.segment_sum(Yg, TP.Q.tile_cols, num_segments=meta.nt)
+    else:
+        # Chunk the tile axis: one unchunked batched dot at g2o100k scale
+        # (29k tiles) made XLA materialize an [r, m, T, T] temp (14 GB)
+        # and OOM the chip; a scan over fixed-size chunks bounds every
+        # temp at CH tiles while touching the same bytes once.
+        mp = -(-m // CH) * CH
+        pad = mp - m
+        tiles_c = jnp.concatenate([
+            TP.Q.tiles.astype(Xf.dtype),
+            jnp.zeros((pad,) + TP.Q.tiles.shape[1:], Xf.dtype)]
+        ).reshape(mp // CH, CH, meta.T, meta.T)
+        rows_c = jnp.concatenate(
+            [TP.Q.tile_rows, jnp.zeros(pad, jnp.int32)]
+        ).reshape(mp // CH, CH)
+        cols_c = jnp.concatenate(
+            [TP.Q.tile_cols, jnp.zeros(pad, jnp.int32)]
+        ).reshape(mp // CH, CH)
+        # padding tiles are all-zero: they add nothing to segment 0
+
+        def step(W, chunk):
+            t_c, r_c, c_c = chunk
+            Xg = Xt[r_c]                                       # [CH, r, T]
+            Yg = jax.lax.dot_general(
+                Xg, t_c, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=Xf.dtype,
+            )
+            return W + jax.ops.segment_sum(
+                Yg, c_c, num_segments=meta.nt), None
+
+        W0 = jnp.zeros((meta.nt, r_pad, meta.T), Xf.dtype)
+        W, _ = jax.lax.scan(step, W0, (tiles_c, rows_c, cols_c))
     return W.transpose(1, 0, 2).reshape(r_pad, meta.kpad)
 
 

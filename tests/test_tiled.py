@@ -368,3 +368,28 @@ def test_tile_precondition_matches_scipy_blockdiag():
         ).T
     W = np.asarray(tiled.precondition_flat(TP, jnp.asarray(V)))
     np.testing.assert_allclose(W, out, rtol=1e-10, atol=1e-12)
+
+
+def test_apply_tiled_chunked_matches_unchunked(data_dir, monkeypatch):
+    """The scan-chunked tile axis (g2o100k-scale OOM fix) must reproduce
+    the single-dot path bit-for-bit up to summation order."""
+    import os
+
+    import jax.numpy as jnp
+
+    from dcora_tpu.core import tiled
+    from dcora_tpu.core.graph import LocalGraph
+    from dcora_tpu.io import read_g2o_file
+
+    ds = read_g2o_file(os.path.join(data_dir, "smallGrid3D.g2o"))
+    g = LocalGraph(0, 5, ds.dim)
+    g.set_measurements(ds.pose_pose_measurements)
+    TP = tiled.build_tiled(g.problem_data(), g.dims, T=32,
+                           dtype=np.float64, with_pallas=False)
+    rng = np.random.default_rng(0)
+    Xf = jnp.asarray(rng.standard_normal((8, TP.meta.kpad)))
+    ref = tiled.apply_tiled(TP, Xf)
+    monkeypatch.setenv("DCORA_TILE_CHUNK", "4")
+    out = tiled.apply_tiled(TP, Xf)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-12, atol=1e-9)
