@@ -443,10 +443,25 @@ def build_tiled(P: prob.ProblemData, dims: ProblemDims, T: int = 128,
             for gr, gc, gw in build_row_groups_bucketed(
                 trow[up], tcol[up], dense[up], T=T)
         )
+    # Pad the tile list to a multiple of the apply-time chunk so the
+    # scan-chunked SpMM can reshape in place: padding inside apply would
+    # concatenate-copy the full tile array (3.6 GB at g2o100k/f64) on
+    # EVERY Hessian product and OOM the chip at runtime.  Zero tiles
+    # accumulate nothing into tile (0, 0).  The BTD/diag preconditioner
+    # extraction above uses the unpadded arrays.
+    _CH = 2048
+    if len(trow) > _CH and len(trow) % _CH:
+        padm = _CH - len(trow) % _CH
+        dense_q = np.concatenate(
+            [dense, np.zeros((padm,) + dense.shape[1:], dense.dtype)])
+        trow_q = np.concatenate([trow, np.zeros(padm, np.int32)])
+        tcol_q = np.concatenate([tcol, np.zeros(padm, np.int32)])
+    else:
+        dense_q, trow_q, tcol_q = dense, trow, tcol
     Q = TiledQ(
-        tiles=conv(dense.astype(dtype, copy=False)),
-        tile_rows=conv(trow),
-        tile_cols=conv(tcol),
+        tiles=conv(dense_q.astype(dtype, copy=False)),
+        tile_rows=conv(trow_q),
+        tile_cols=conv(tcol_q),
         ra_of_fl=conv(ra_of_fl.astype(np.int32)),
         fl_of_ra=conv(fl_of_ra.astype(np.int32)),
         grp_buckets=grp_buckets,
@@ -604,16 +619,25 @@ def apply_tiled(TP: TiledProblem, Xf: jax.Array) -> jax.Array:
         # temp at CH tiles while touching the same bytes once.
         mp = -(-m // CH) * CH
         pad = mp - m
-        tiles_c = jnp.concatenate([
-            TP.Q.tiles.astype(Xf.dtype),
-            jnp.zeros((pad,) + TP.Q.tiles.shape[1:], Xf.dtype)]
-        ).reshape(mp // CH, CH, meta.T, meta.T)
-        rows_c = jnp.concatenate(
-            [TP.Q.tile_rows, jnp.zeros(pad, jnp.int32)]
-        ).reshape(mp // CH, CH)
-        cols_c = jnp.concatenate(
-            [TP.Q.tile_cols, jnp.zeros(pad, jnp.int32)]
-        ).reshape(mp // CH, CH)
+        if pad:
+            # small/test problems only: build_tiled pre-pads to the
+            # default chunk, so the large-problem path reshapes in place
+            # (a concatenate here would copy the full tile array inside
+            # the program on every Hessian product)
+            tiles_p = jnp.concatenate([
+                TP.Q.tiles.astype(Xf.dtype),
+                jnp.zeros((pad,) + TP.Q.tiles.shape[1:], Xf.dtype)])
+            rows_p = jnp.concatenate(
+                [TP.Q.tile_rows, jnp.zeros(pad, jnp.int32)])
+            cols_p = jnp.concatenate(
+                [TP.Q.tile_cols, jnp.zeros(pad, jnp.int32)])
+        else:
+            tiles_p = TP.Q.tiles.astype(Xf.dtype)
+            rows_p = TP.Q.tile_rows
+            cols_p = TP.Q.tile_cols
+        tiles_c = tiles_p.reshape(mp // CH, CH, meta.T, meta.T)
+        rows_c = rows_p.reshape(mp // CH, CH)
+        cols_c = cols_p.reshape(mp // CH, CH)
         # padding tiles are all-zero: they add nothing to segment 0
 
         def step(W, chunk):
