@@ -47,6 +47,10 @@ def main():
     ap.add_argument("--eta", type=float, default=1e-3)
     args = ap.parse_args()
 
+    import logging
+
+    logging.basicConfig(level=logging.INFO,
+                        format="%(asctime)s %(name)s: %(message)s")
     import jax
 
     if args.cpu:
