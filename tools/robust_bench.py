@@ -141,9 +141,14 @@ def main():
         # are measured at a converged estimate of the current weighted
         # problem — the round-3 run updated on a fixed 60-round cadence
         # and falsely rejected 107 clean edges.
+        # inner budget 150 (hard cap 750 rounds): with 60 the 5x cap
+        # (300 rounds) preempted the gradnorm<1.0 update gate on nearly
+        # every update — sequential RBCD needs ~500+ rounds to converge
+        # sphere2500 at fixed weights, so residuals were still measured
+        # above-convergence (precision 0.876).
         res = run_mr(
-            args.robots, cpath, r_min=5, r_max=10, num_iters=6000,
-            robust_inner_iters=60, robust_weight_updates=25,
+            args.robots, cpath, r_min=5, r_max=10, num_iters=12000,
+            robust_inner_iters=150, robust_weight_updates=25,
             robust_cost_params=RobustCostParameters(
                 costType=RobustCostType.GNC_TLS, GNCBarc=5.0,
                 GNCMaxNumIters=60,
