@@ -38,6 +38,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import NamedTuple, Optional
 
 import jax
@@ -47,6 +48,15 @@ import numpy as np
 from dcora_tpu.core.lifted import RAState
 from dcora_tpu.core import problem as prob
 from dcora_tpu.types import ProblemDims
+
+
+def _tile_chunk() -> int:
+    """Apply-time scan chunk (tiles per step).  Read in BOTH build_tiled
+    (pre-padding) and apply_tiled so they always agree: a mismatch makes
+    apply fall back to an in-program concatenate — the multi-GB
+    per-Hessian-product copy the pre-pad exists to avoid at g2o100k
+    scale."""
+    return int(os.environ.get("DCORA_TILE_CHUNK", "2048"))
 
 
 class TiledQ(NamedTuple):
@@ -449,7 +459,7 @@ def build_tiled(P: prob.ProblemData, dims: ProblemDims, T: int = 128,
     # EVERY Hessian product and OOM the chip at runtime.  Zero tiles
     # accumulate nothing into tile (0, 0).  The BTD/diag preconditioner
     # extraction above uses the unpadded arrays.
-    _CH = 2048
+    _CH = _tile_chunk()
     if len(trow) > _CH and len(trow) % _CH:
         padm = _CH - len(trow) % _CH
         dense_q = np.concatenate(
@@ -601,9 +611,7 @@ def apply_tiled(TP: TiledProblem, Xf: jax.Array) -> jax.Array:
             )
     Xt = Xf.reshape(r_pad, meta.nt, meta.T).transpose(1, 0, 2)  # [nt, r, T]
     m = int(TP.Q.tiles.shape[0])
-    import os
-
-    CH = int(os.environ.get("DCORA_TILE_CHUNK", "2048"))
+    CH = _tile_chunk()
     if m <= CH:
         Xg = Xt[TP.Q.tile_rows]                                 # [m, r, T]
         Yg = jax.lax.dot_general(

@@ -258,6 +258,78 @@ def run_dcora(path, cfg):
     )
 
 
+STATE_DIR = os.path.join(ART, "state")  # gitignored npz of final X
+
+
+def _save_state(name, X):
+    import numpy as np
+
+    os.makedirs(STATE_DIR, exist_ok=True)
+    np.savez_compressed(
+        os.path.join(STATE_DIR, f"{name}.npz"),
+        rot=np.asarray(X.rot), sph=np.asarray(X.sph),
+        trn=np.asarray(X.trn),
+    )
+
+
+def _load_state(name):
+    import numpy as np
+
+    from dcora_tpu.core.lifted import RAState
+
+    z = np.load(os.path.join(STATE_DIR, f"{name}.npz"))
+    return RAState(rot=z["rot"], sph=z["sph"], trn=z["trn"])
+
+
+def _downsample(trace, keep=400):
+    """Bound committed artifact size: keep every Nth point plus the final
+    value (a 4000-iteration run once inserted 33k JSON lines)."""
+    trace = [float(x) for x in trace]
+    if len(trace) <= keep:
+        return trace
+    step = -(-len(trace) // keep)
+    out = trace[::step]
+    if out[-1] != trace[-1]:
+        out.append(trace[-1])
+    return out
+
+
+def _config_measurements(name, data_dir):
+    """The measurement list verify_solution needs, per config kind."""
+    cfg = CONFIGS[name]
+    path = os.path.join(data_dir, cfg["file"])
+    if cfg["kind"] in ("pgo", "dc2pgo"):
+        from dcora_tpu.io import read_g2o_file
+
+        return read_g2o_file(path).pose_pose_measurements
+    from dcora_tpu.io import read_pyfg_file
+    from dcora_tpu.io.remap import get_global_measurements
+
+    return get_global_measurements(read_pyfg_file(path)).relative_measurements
+
+
+def reverify_config(name, data_dir):
+    """Re-run ONLY the independent verification against the saved final
+    state and update the artifact's verification fields in place (used
+    after verifier fixes, so sound verdicts don't require re-solving)."""
+    from dcora_tpu.io import read_g2o_file, read_pyfg_file  # noqa: F401
+    from dcora_tpu import verification as V
+
+    cfg = CONFIGS[name]
+    ms = _config_measurements(name, data_dir)
+    X = _load_state(name)
+    with open(os.path.join(ART, f"{name}.json")) as fh:
+        rec = json.load(fh)
+    t_v = time.time()
+    rep = V.verify_solution(ms, X, X.d, eta=cfg["eta"])
+    rep["verify_indep_s"] = time.time() - t_v
+    rec.update(rep)
+    rec["reverified_timestamp"] = time.strftime("%Y-%m-%d %H:%M:%S")
+    with open(os.path.join(ART, f"{name}.json"), "w") as fh:
+        json.dump(rec, fh, indent=1)
+    return rec
+
+
 def run_config(name, data_dir):
     cfg = CONFIGS[name]
     path = os.path.join(data_dir, cfg["file"])
@@ -272,6 +344,8 @@ def run_config(name, data_dir):
     else:
         out = run_dc2pgo(path, cfg)
 
+    _save_state(name, out["X"])
+
     from dcora_tpu import verification as V
 
     t_v = time.time()
@@ -283,8 +357,8 @@ def run_config(name, data_dir):
             and len(out["T_est"]) == len(out["T_gt"]):
         rec["ate_vs_gt"] = V.ate_vs_ground_truth(out["T_est"], out["T_gt"])
     if "cost_trace" in out:
-        rec["cost_trace"] = [float(c) for c in out["cost_trace"]]
-        rec["gradnorm_trace"] = [float(g) for g in out["gradnorm_trace"]]
+        rec["cost_trace"] = _downsample(out["cost_trace"])
+        rec["gradnorm_trace"] = _downsample(out["gradnorm_trace"])
     rec["timestamp"] = time.strftime("%Y-%m-%d %H:%M:%S")
     import jax
 
@@ -364,6 +438,9 @@ def main():
     ap.add_argument("--data-dir", default=os.environ.get(
         "DCORA_DATA_DIR", "/root/reference/data"))
     ap.add_argument("--summary", action="store_true")
+    ap.add_argument("--reverify", action="store_true",
+                    help="re-run ONLY the independent verification of the "
+                    "named configs against their saved final states")
     args = ap.parse_args()
 
     if args.summary:
@@ -388,6 +465,15 @@ def main():
     import dcora_tpu  # noqa: F401  (x64 + cache setup)
 
     os.makedirs(ART, exist_ok=True)
+    if args.reverify:
+        for name in args.configs:
+            print(f"=== reverify {name} ===", flush=True)
+            rec = reverify_config(name, args.data_dir)
+            print(json.dumps({k: v for k, v in rec.items()
+                              if k not in ("cost_trace",
+                                           "gradnorm_trace")},
+                             indent=1), flush=True)
+        return
     for name in args.configs:
         print(f"=== {name} ===", flush=True)
         rec = run_config(name, args.data_dir)
