@@ -801,6 +801,41 @@ class Agent:
         if self.params.acceleration:
             self.initialize_acceleration()
 
+    def reclassify_measurement_weights(self, w_change_tol: float = 1e-3
+                                       ) -> int:
+        """Recompute GNC weights from CURRENT residuals at the CURRENT mu
+        without advancing the schedule, counters, or statuses.  Returns
+        the number of weights that changed by more than ``w_change_tol``.
+
+        This is the terminal repair pass the central GNC loop gets for
+        free (its final solvePGO re-solves to convergence and the LAST
+        weight update sees converged residuals, DCORA_solver.cpp:366-409)
+        but the distributed pipeline lacked: mid-stream updates measure
+        residuals at partially-converged estimates, so borderline INLIERS
+        can be rejected by residual noise and the final weights inherit
+        the misclassification (sphere2500: 52 false positives).  Re-judged
+        at a converged estimate, a clean edge's residual is small and its
+        weight recovers; a true outlier's residual stays above the TLS
+        band and its weight remains 0."""
+        if self.state != AgentState.INITIALIZED:
+            return 0
+        changed = 0
+        for m in self.graph.active_loop_closures():
+            if m.fixedWeight:
+                continue
+            if not isinstance(m, RelativePosePoseMeasurement):
+                continue
+            resid = self.compute_measurement_residual(m)
+            if resid is None:
+                continue
+            w = float(self.robust_cost.weight(resid))
+            if abs(w - m.weight) > w_change_tol:
+                m.weight = w
+                changed += 1
+        if changed:
+            self.graph._invalidate()
+        return changed
+
     def max_measurement_residual(self):
         """Max unweighted residual over the active non-fixed loop
         closures — the driver uses the team-wide max for the adaptive GNC

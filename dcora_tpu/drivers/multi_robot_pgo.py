@@ -252,6 +252,8 @@ def run(num_robots: int, g2o_path: str, acceleration: bool = True,
                    else 10.0 * rgrad_norm_tol)
     mu_initialized = False
     extra_updates = 0
+    repair_passes = 0
+    max_repair_passes = 8
 
     # optimize at every rank entered, including an escape landing at r_max
     # (reference optimizes each entered rank; see staircase.py note)
@@ -323,6 +325,14 @@ def run(num_robots: int, g2o_path: str, acceleration: bool = True,
                     sel.update_neighbor_states(a.id, aux[0], aux=True)
             sel.iterate(True)
 
+            def _refresh_neighbors(a):
+                for b_ in agents:
+                    if b_.id == a.id:
+                        continue
+                    dicts = b_.get_shared_state_dicts()
+                    if dicts is not None:
+                        a.update_neighbor_states(b_.id, dicts[0])
+
             if robust:
                 # status gossip: every agent sees the team's convergence
                 # state (in the reference this is the ROS status topic)
@@ -340,21 +350,25 @@ def run(num_robots: int, g2o_path: str, acceleration: bool = True,
                 # rejections on sphere2500.  A hard cap (5x the inner
                 # budget) keeps a stalled round from blocking GNC.
                 hard_cap = 5 * robust_inner_iters
-                gate_ok = (gradnorm < update_gate) or any(
+                # cost stagnation over one full selection sweep is an
+                # earlier (and cheaper) convergence signal than the
+                # central gradnorm gate: RBCD progress per round decays
+                # long before the gradient norm crosses the gate, and
+                # residuals measured at a stalled estimate are as good as
+                # ones at a gradnorm-gated estimate for the mu ramp (the
+                # terminal repair pass re-judges every weight at full
+                # convergence regardless)
+                stagnated = (
+                    len(cost_trace) > num_robots
+                    and abs(cost_trace[-1] - cost_trace[-1 - num_robots])
+                    <= 1e-5 * max(1.0, abs(cost_trace[-1]))
+                )
+                gate_ok = (gradnorm < update_gate) or stagnated or any(
                     a.robust_opt_inner_iter >= hard_cap for a in agents)
                 any_update = False
                 if gate_ok:
                     ready = [a for a in agents
                              if a.should_update_measurement_weights()]
-
-                    def _refresh_neighbors(a):
-                        for b_ in agents:
-                            if b_.id == a.id:
-                                continue
-                            dicts = b_.get_shared_state_dicts()
-                            if dicts is not None:
-                                a.update_neighbor_states(b_.id, dicts[0])
-
                     if ready and not mu_initialized:
                         # adaptive global mu init from the team max
                         # residual (central analogue: mu = barc^2 /
@@ -435,6 +449,33 @@ def run(num_robots: int, g2o_path: str, acceleration: bool = True,
                 for a in agents
             )
             if gradnorm < tol_eff and robust_done:
+                # Terminal weight repair: re-judge every GNC weight at the
+                # now-CONVERGED estimate (current mu, schedule untouched).
+                # Mid-stream updates measure residuals at partially
+                # converged estimates, so borderline inliers get rejected
+                # by residual noise; the central loop never ships those
+                # because its last update follows a full re-solve
+                # (DCORA_solver.cpp:366-409).  If any weight flips, keep
+                # iterating to re-converge the repaired problem and
+                # re-judge again, up to a bounded number of passes.
+                if robust and repair_passes < max_repair_passes:
+                    repair_passes += 1
+                    changed = 0
+                    for a in agents:
+                        _refresh_neighbors(a)
+                        changed += a.reclassify_measurement_weights()
+                    if changed:
+                        logger.info(
+                            "GNC repair pass %d: %d weights re-judged at "
+                            "converged estimate", repair_passes, changed)
+                        weight_state.update(
+                            _collect_weights(agents, n, num_robots))
+                        _apply_weights(measurements, weight_state, n,
+                                       num_robots, local=False)
+                        central.set_measurements(measurements)
+                        P = central.problem_data()
+                        total_iter += 1
+                        continue
                 break
 
             # greedy selection by block gradient norm (reference: :289-305)
@@ -534,30 +575,43 @@ def run(num_robots: int, g2o_path: str, acceleration: bool = True,
 
 
 def main():
+    from dcora_tpu.config import DcoraConfig, resolve
+
     ap = argparse.ArgumentParser()
     ap.add_argument("num_robots", type=int)
     ap.add_argument("g2o")
     ap.add_argument("--no-accel", action="store_true")
-    ap.add_argument("--iters", type=int, default=1000)
-    ap.add_argument("--rmin", type=int, default=5)
-    ap.add_argument("--rmax", type=int, default=100)
+    ap.add_argument("--iters", type=int, default=None)
+    ap.add_argument("--rmin", type=int, default=None)
+    ap.add_argument("--rmax", type=int, default=None)
     ap.add_argument("--verbose", action="store_true")
     ap.add_argument("--robust", action="store_true",
                     help="distributed GNC-TLS robust optimization")
-    ap.add_argument("--gnc-barc", type=float, default=5.0)
-    ap.add_argument("--weight-updates", type=int, default=3)
+    ap.add_argument("--gnc-barc", type=float, default=None)
+    ap.add_argument("--weight-updates", type=int, default=None)
+    DcoraConfig.add_cli(ap)
     args = ap.parse_args()
     logging.basicConfig(level=logging.INFO)
+    cfg = DcoraConfig.from_cli(args)
+    logger.info("config:\n%s", cfg.dump())
     rcp = None
     if args.robust:
-        rcp = RobustCostParameters(
-            costType=RobustCostType.GNC_TLS, GNCBarc=args.gnc_barc
-        )
+        rcp = cfg.robust
+        rcp.costType = RobustCostType.GNC_TLS
+        if args.gnc_barc is not None:
+            rcp.GNCBarc = args.gnc_barc
     res = run(
-        args.num_robots, args.g2o, acceleration=not args.no_accel,
-        num_iters=args.iters, r_min=args.rmin, r_max=args.rmax,
+        args.num_robots, args.g2o,
+        acceleration=(not args.no_accel) and cfg.rbcd.acceleration,
+        num_iters=resolve(args.iters, cfg.rbcd.num_iters),
+        r_min=resolve(args.rmin, cfg.staircase.r_min),
+        r_max=resolve(args.rmax, cfg.staircase.r_max),
+        rgrad_norm_tol=cfg.rbcd.rgrad_norm_tol,
+        min_eig_num_tol=cfg.staircase.min_eig_num_tol,
         verbose=args.verbose, robust_cost_params=rcp,
-        robust_weight_updates=args.weight_updates,
+        robust_weight_updates=resolve(
+            args.weight_updates, cfg.rbcd.robust_opt_num_weight_updates),
+        robust_inner_iters=cfg.rbcd.robust_opt_inner_iters,
     )
     print(
         f"DC2-PGO: certified={res.certified} rank={res.final_rank} "

@@ -305,20 +305,30 @@ def run(pyfg_path: str, acceleration: bool = True, num_iters: int = 1000,
 
 
 def main():
+    from dcora_tpu.config import DcoraConfig, resolve
+
     ap = argparse.ArgumentParser()
     ap.add_argument("pyfg")
     ap.add_argument("--no-accel", action="store_true")
-    ap.add_argument("--iters", type=int, default=1000)
-    ap.add_argument("--rmax", type=int, default=100)
-    ap.add_argument("--rule", default="Greedy",
+    ap.add_argument("--iters", type=int, default=None)
+    ap.add_argument("--rmax", type=int, default=None)
+    ap.add_argument("--rule", default=None,
                     choices=["Greedy", "Uniform"])
     ap.add_argument("--verbose", action="store_true")
+    DcoraConfig.add_cli(ap)
     args = ap.parse_args()
     logging.basicConfig(level=logging.INFO)
+    cfg = DcoraConfig.from_cli(args)
+    logger.info("config:\n%s", cfg.dump())
     res = run(
-        args.pyfg, acceleration=not args.no_accel, num_iters=args.iters,
-        r_max=args.rmax,
-        block_selection_rule=BlockSelectionRule[args.rule],
+        args.pyfg,
+        acceleration=(not args.no_accel) and cfg.rbcd.acceleration,
+        num_iters=resolve(args.iters, cfg.rbcd.num_iters),
+        r_max=resolve(args.rmax, cfg.staircase.r_max),
+        rgrad_norm_tol=cfg.rbcd.rgrad_norm_tol,
+        min_eig_num_tol=cfg.staircase.min_eig_num_tol,
+        block_selection_rule=BlockSelectionRule[
+            resolve(args.rule, cfg.rbcd.block_selection_rule)],
         verbose=args.verbose,
     )
     print(

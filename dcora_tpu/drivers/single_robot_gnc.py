@@ -17,15 +17,18 @@ from dcora_tpu.types import ROptParameters, RobustCostParameters, RobustCostType
 from dcora_tpu.utils.logger import Logger
 
 
-def run(g2o_path: str, log_directory: str = "", verbose: bool = True):
+def run(g2o_path: str, log_directory: str = "", verbose: bool = True,
+        robust_params: RobustCostParameters = None):
     ds = read_g2o_file(g2o_path)
     ms = [m for m in ds.pose_pose_measurements]
     t0 = time.time()
+    rp = robust_params or RobustCostParameters(
+        costType=RobustCostType.GNC_TLS
+    )
+    rp.costType = RobustCostType.GNC_TLS
     params = SolveRobustPGOParams(
         opt_params=ROptParameters(gradnorm_tol=1e-2, RTR_iterations=50),
-        robust_params=RobustCostParameters(
-            costType=RobustCostType.GNC_TLS
-        ),
+        robust_params=rp,
         verbose=verbose,
     )
     T = solve_robust_pgo(ms, params)
@@ -45,12 +48,17 @@ def run(g2o_path: str, log_directory: str = "", verbose: bool = True):
 
 
 def main():
+    from dcora_tpu.config import DcoraConfig
+
     ap = argparse.ArgumentParser()
     ap.add_argument("g2o")
     ap.add_argument("--log-dir", default="")
+    DcoraConfig.add_cli(ap)
     args = ap.parse_args()
     logging.basicConfig(level=logging.INFO)
-    run(args.g2o, log_directory=args.log_dir)
+    cfg = DcoraConfig.from_cli(args)
+    logging.getLogger(__name__).info("config:\n%s", cfg.dump())
+    run(args.g2o, log_directory=args.log_dir, robust_params=cfg.robust)
 
 
 if __name__ == "__main__":

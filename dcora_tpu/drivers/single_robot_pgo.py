@@ -26,12 +26,13 @@ from dcora_tpu.utils.logger import Logger
 
 
 def run(g2o_path: str, certify: bool = False, log_directory: str = "",
-        verbose: bool = True):
+        verbose: bool = True, opt_params: ROptParameters = None,
+        r_max: int = 20, eta: float = 1e-3):
     ds = read_g2o_file(g2o_path)
     ms = ds.pose_pose_measurements
     d = ds.dim
     t0 = time.time()
-    params = ROptParameters(
+    params = opt_params or ROptParameters(
         gradnorm_tol=1e-4, RTR_iterations=200, RTR_tCG_iterations=200
     )
     if certify:
@@ -40,7 +41,8 @@ def run(g2o_path: str, certify: bool = False, log_directory: str = "",
         T = chordal_initialization(ms)
         X0 = lifted.pad_rank(lifted.from_pose_array(T), d + 2)
         res = riemannian_staircase(
-            g, X0, r_min=d + 2, r_max=20, opt_params=params
+            g, X0, r_min=d + 2, r_max=min(r_max, 20), opt_params=params,
+            min_eig_num_tol=eta,
         )
         T_out = np.zeros((g.n, d, d + 1))
         T_out[:, :, :d] = np.asarray(res.rounded.rot)
@@ -68,13 +70,20 @@ def run(g2o_path: str, certify: bool = False, log_directory: str = "",
 
 
 def main():
+    from dcora_tpu.config import DcoraConfig
+
     ap = argparse.ArgumentParser()
     ap.add_argument("g2o")
     ap.add_argument("--certify", action="store_true")
     ap.add_argument("--log-dir", default="")
+    DcoraConfig.add_cli(ap)
     args = ap.parse_args()
     logging.basicConfig(level=logging.INFO)
-    run(args.g2o, certify=args.certify, log_directory=args.log_dir)
+    cfg = DcoraConfig.from_cli(args)
+    logging.getLogger(__name__).info("config:\n%s", cfg.dump())
+    run(args.g2o, certify=args.certify, log_directory=args.log_dir,
+        opt_params=cfg.ropt, r_max=cfg.staircase.r_max,
+        eta=cfg.staircase.min_eig_num_tol)
 
 
 if __name__ == "__main__":

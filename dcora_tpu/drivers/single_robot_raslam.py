@@ -125,15 +125,24 @@ def run(pyfg_path: str, r_max: int = 20, min_eig_tol: float = 1e-4,
 
 
 def main():
+    from dcora_tpu.config import DcoraConfig, resolve
+
     ap = argparse.ArgumentParser()
     ap.add_argument("pyfg")
-    ap.add_argument("--rmax", type=int, default=20)
-    ap.add_argument("--eta", type=float, default=1e-4)
+    ap.add_argument("--rmax", type=int, default=None)
+    ap.add_argument("--eta", type=float, default=None)
     ap.add_argument("--init", default="odometry",
                     choices=["odometry", "ground_truth", "random"])
+    DcoraConfig.add_cli(ap)
     args = ap.parse_args()
     logging.basicConfig(level=logging.INFO)
-    run(args.pyfg, args.rmax, args.eta, args.init)
+    cfg = DcoraConfig.from_cli(args)
+    # the centralized CORA demo's tolerance is 1e-4
+    # (SingleRobotExample_RASLAM.cpp:77), tighter than the distributed
+    # default carried by the config
+    logger.info("config:\n%s", cfg.dump())
+    run(args.pyfg, resolve(args.rmax, min(cfg.staircase.r_max, 20)),
+        resolve(args.eta, 1e-4), args.init)
 
 
 if __name__ == "__main__":

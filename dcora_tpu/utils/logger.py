@@ -90,3 +90,48 @@ class Logger:
                         f"{m.range} 0 0 0 {m.precision} {m.weight} "
                         f"{int(m.fixedWeight)}\n"
                     )
+
+
+def write_matrix_to_file(M: np.ndarray, filename: str) -> None:
+    """Dense matrix as full-precision CSV rows
+    (reference: writeMatrixToFile, DCORA_utils.cpp:147-159)."""
+    M = np.asarray(M)
+    with open(filename, "w") as f:
+        for row in np.atleast_2d(M):
+            f.write(", ".join(repr(float(x)) for x in row) + "\n")
+
+
+def write_sparse_matrix_to_file(M, filename: str) -> None:
+    """Sparse matrix as "row,col,value" COO lines
+    (reference: writeSparseMatrixToFile, DCORA_utils.cpp:161-177)."""
+    coo = M.tocoo()
+    with open(filename, "w") as f:
+        for i, j, v in zip(coo.row, coo.col, coo.data):
+            f.write(f"{int(i)},{int(j)},{float(v)!r}\n")
+
+
+def read_matrix_from_file(filename: str) -> np.ndarray:
+    """Round-trip reader for write_matrix_to_file output."""
+    rows = []
+    with open(filename) as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                rows.append([float(x) for x in line.split(",")])
+    return np.array(rows)
+
+
+def read_sparse_matrix_from_file(filename: str):
+    """Round-trip reader for write_sparse_matrix_to_file output."""
+    import scipy.sparse as sp
+
+    rows, cols, vals = [], [], []
+    with open(filename) as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                i, j, v = line.split(",")
+                rows.append(int(i))
+                cols.append(int(j))
+                vals.append(float(v))
+    return sp.coo_matrix((vals, (rows, cols)))

@@ -98,6 +98,8 @@ def main():
 
     X0 = lifted.pad_rank(lifted.from_pose_array(T0), args.rmin)
     t0 = time.time()
+    # the multi-hour staircase survives preemption: resume = re-run
+    ckpt = os.path.join("/tmp", "dcora_ckpt_g2o100k.npz")
     res = riemannian_staircase(
         g, X0, r_min=args.rmin, r_max=args.rmax,
         opt_params=ROptParameters(
@@ -105,8 +107,14 @@ def main():
             RTR_tCG_iterations=args.tcg,
         ),
         min_eig_num_tol=args.eta, verbose=True,
+        checkpoint_path=ckpt,
     )
     rec["t_solve_s"] = time.time() - t0
+    np.savez_compressed(
+        os.path.join(ART, "parity", "state", "g2o100k.npz"),
+        rot=np.asarray(res.X.rot), sph=np.asarray(res.X.sph),
+        trn=np.asarray(res.X.trn),
+    )
     rec["certified"] = bool(res.certified)
     rec["final_rank"] = int(res.final_rank)
     rec["f_final"] = float(res.f_final)
