@@ -288,12 +288,18 @@ def build_row_groups_bucketed(rows, cols, tiles, T: int = 128,
 def spmm_bucketed(buckets, Xf: jax.Array, T: int = 128,
                   interpret: bool = False) -> jax.Array:
     """W = Xf Q summed over per-width grouped kernels (see
-    build_row_groups_bucketed).  `buckets` is a sequence of
-    (grows, gcols, wide) jax arrays; G is derived from gcols.shape[1]."""
+    build_row_groups_bucketed / build_row_pairs_bucketed).  `buckets` is a
+    sequence of (grows, gcols, wide) jax arrays; G comes from
+    gcols.shape[1].  A bucket whose wide buffer has 2T contraction rows is
+    a two-row K-fused bucket and dispatches to the paired kernel."""
     W = None
     for grows, gcols, wide in buckets:
-        Y = spmm_grouped(grows, gcols, wide, Xf, T=T,
-                         G=int(gcols.shape[1]), interpret=interpret)
+        if wide.shape[1] == 2 * T:
+            Y = spmm_paired(grows, gcols, wide, Xf, T=T,
+                            G=int(gcols.shape[1]), interpret=interpret)
+        else:
+            Y = spmm_grouped(grows, gcols, wide, Xf, T=T,
+                             G=int(gcols.shape[1]), interpret=interpret)
         W = Y if W is None else W + Y
     return W
 
@@ -383,6 +389,214 @@ def spmm_grouped(grows: jax.Array, gcols: jax.Array, wide: jax.Array,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         cost_estimate=pl.CostEstimate(
             flops=8 * ngroups * Xf.shape[0] * T * G * T,
+            bytes_accessed=wide.size * 4 + 2 * Xf.size * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(grows, gcols, Xf, wide)
+
+
+def build_row_pairs_bucketed(rows, cols, tiles, T: int = 128,
+                             max_widths: int = 3, pen: float = 0.75):
+    """Host-side: pack the tile list into TWO-tile-row K-fused groups.
+
+    At r_pad=8 the single-row grouped kernel is ISSUE-bound, not
+    bytes-bound (NOTES r_pad sweep: 0.126 ms vs the 0.075 ms symmetric
+    roofline on city10000; the same kernel at r_pad=16 runs AT roofline
+    because each matmul issue covers twice the arithmetic).  This layout
+    reaches the same effect at r_pad=8 by fusing two tile-rows into every
+    matmul along the CONTRACTION axis: for a row pair (r1 < r2) with
+    union column set {c_j}, the wide buffer stacks the two rows' subtiles
+
+        A = [[A_{r1,c_1} .. A_{r1,c_w}],      # rows 0..T
+             [A_{r2,c_1} .. A_{r2,c_w}]]      # rows T..2T  ([2T, w*T])
+
+    so the forward pass is ONE [r,2T]@[2T,wT] matmul computing
+    X_{r1} A_1 + X_{r2} A_2 — correct because both rows contribute
+    additively to the same output columns — and the symmetric pass is ONE
+    NT matmul whose [r, 2T] result splits into the r1 / r2 output tiles.
+    Issue count halves; streamed bytes grow only by the non-overlap of
+    adjacent RCM rows' column sets (band structure makes this small).
+
+    Correctness constraints baked into the packing:
+      * consecutive RCM tile-rows are paired (max column overlap);
+      * a diagonal tile (r2, r2) cannot ride the fused NT pass (the
+        kernel's xcat zeroing for c == r1 is safe only because
+        A_{r2, r1} is strictly lower-triangular, hence absent) — such
+        tiles are routed to a single-row leftover bucket;
+      * pad slots use column r1 with all-zero subtiles.
+
+    Returns a list of (grows i32[ng, 2], gcols i32[ng, w],
+    wide f32[ng, 2T, w*T]) plus single-row buckets for the leftovers,
+    consumable by spmm_bucketed.
+    """
+    import numpy as np
+
+    rows = np.asarray(rows)
+    cols = np.asarray(cols)
+    tiles = np.asarray(tiles)
+    by_row: dict = {}
+    for r, c, t in zip(rows, cols, tiles):
+        by_row.setdefault(int(r), {})[int(c)] = t
+
+    all_rows = sorted(by_row)
+    pairs = []
+    lo_r, lo_c, lo_t = [], [], []  # leftover single-row tiles
+
+    def spill(r, cmap):
+        for c, t in sorted(cmap.items()):
+            lo_r.append(r)
+            lo_c.append(c)
+            lo_t.append(t)
+
+    i = 0
+    while i < len(all_rows):
+        if i + 1 >= len(all_rows):
+            spill(all_rows[i], by_row[all_rows[i]])
+            i += 1
+            continue
+        r1, r2 = all_rows[i], all_rows[i + 1]
+        m1 = by_row[r1]
+        m2 = dict(by_row[r2])
+        if r2 in m2:  # (r2, r2) diagonal: see docstring
+            lo_r.append(r2)
+            lo_c.append(r2)
+            lo_t.append(m2.pop(r2))
+        ucols = sorted(set(m1) | set(m2))
+        if ucols:
+            pairs.append((r1, r2, ucols, m1, m2))
+        i += 2
+
+    out = []
+    if pairs:
+        union_counts = [len(p[2]) for p in pairs]
+        widths = choose_bucket_widths(union_counts, max_widths=max_widths,
+                                      pen=pen)
+        _, first = _row_partition_widths(
+            {int(t): 1 for t in union_counts}, widths, pen)
+        per_w = {w: ([], [], []) for w in widths}
+        for r1, r2, ucols, m1, m2 in pairs:
+            left = len(ucols)
+            i0 = 0
+            while left > 0:
+                w = first[left]
+                take = min(w, left)
+                cs = np.full(w, r1, np.int32)
+                sub = np.zeros((2 * T, w * T), np.float32)
+                for j, c in enumerate(ucols[i0:i0 + take]):
+                    cs[j] = c
+                    if c in m1:
+                        sub[:T, j * T:(j + 1) * T] = m1[c]
+                    if c in m2:
+                        sub[T:, j * T:(j + 1) * T] = m2[c]
+                g = per_w[w]
+                g[0].append((r1, r2))
+                g[1].append(cs)
+                g[2].append(sub)
+                i0 += take
+                left -= take
+        for w in widths:
+            gr, gc, gt = per_w[w]
+            if not gr:
+                continue
+            out.append((np.asarray(gr, np.int32).reshape(len(gr), 2),
+                        np.asarray(gc, np.int32).reshape(len(gr), w),
+                        np.stack(gt)))
+    if lo_r:
+        out.extend(build_row_groups_bucketed(
+            np.asarray(lo_r, np.int32), np.asarray(lo_c, np.int32),
+            np.stack(lo_t), T=T, max_widths=max_widths, pen=pen))
+    if not out:
+        out = [(np.zeros(1, np.int32), np.zeros((1, 1), np.int32),
+                np.zeros((1, T, T), np.float32))]
+    return out
+
+
+def _paired_kernel(grows_ref, gcols_ref, x_ref, wide_hbm, out_ref, *,
+                   T: int, G: int, ngroups: int):
+    W = G * T
+
+    def body(scratch, xcat, sem):
+        one = jnp.int32(1)
+        two = jnp.int32(2)
+
+        def get_dma(slot, gi):
+            return pltpu.make_async_copy(
+                wide_hbm.at[gi], scratch.at[slot], sem.at[slot])
+
+        out_ref[:, :] = jnp.zeros_like(out_ref)
+        get_dma(jnp.int32(0), jnp.int32(0)).start()
+
+        def loop(gi, carry):
+            slot = jax.lax.rem(gi, two)
+
+            @pl.when(gi + one < ngroups)
+            def _prefetch():
+                get_dma(jax.lax.rem(gi + one, two), gi + one).start()
+
+            get_dma(slot, gi).wait()
+            r1 = grows_ref[gi * 2]
+            r2 = grows_ref[gi * 2 + 1]
+            ro1 = pl.multiple_of(r1 * T, T)
+            ro2 = pl.multiple_of(r2 * T, T)
+            # K-fused forward: one [r, 2T] @ [2T, W] covers both rows
+            X2 = jnp.concatenate(
+                [x_ref[:, pl.ds(ro1, T)], x_ref[:, pl.ds(ro2, T)]], axis=1
+            )
+            Y = jnp.dot(X2, scratch[slot],
+                        preferred_element_type=jnp.float32)  # [r, W]
+            for j in range(G):
+                c = gcols_ref[gi * G + j]
+                co = pl.multiple_of(c * T, T)
+                out_ref[:, pl.ds(co, T)] += Y[:, j * T:(j + 1) * T]
+                Xc = x_ref[:, pl.ds(co, T)]
+                # c == r1 slots are either the r1 diagonal tile (apply
+                # once: zero the symmetric operand; the r2 half is
+                # strictly-lower, hence absent) or zero pad slots
+                xcat[:, j * T:(j + 1) * T] = jnp.where(
+                    c == r1, jnp.zeros_like(Xc), Xc)
+            # fused NT symmetric pass: [r, W] x [2T, W]^T -> [r, 2T],
+            # halves split into the two row outputs
+            Y2 = jax.lax.dot_general(
+                xcat[:, :], scratch[slot], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            out_ref[:, pl.ds(ro1, T)] += Y2[:, :T]
+            out_ref[:, pl.ds(ro2, T)] += Y2[:, T:]
+            return carry
+
+        jax.lax.fori_loop(jnp.int32(0), jnp.int32(ngroups), loop,
+                          jnp.int32(0))
+
+    pl.run_scoped(
+        body,
+        scratch=pltpu.VMEM((2, 2 * T, W), jnp.float32),
+        xcat=pltpu.VMEM((out_ref.shape[0], W), jnp.float32),
+        sem=pltpu.SemaphoreType.DMA((2,)),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("T", "G", "interpret"))
+def spmm_paired(grows: jax.Array, gcols: jax.Array, wide: jax.Array,
+                Xf: jax.Array, T: int = 128, G: int = GROUP,
+                interpret: bool = False) -> jax.Array:
+    """W = Xf Q from the two-row K-fused layout (build_row_pairs_bucketed).
+
+    grows: i32[ng, 2]; gcols: i32[ng, G]; wide: f32[ng, 2T, G*T]."""
+    ngroups = wide.shape[0]
+    grows = grows.reshape(-1)  # flat SMEM (see _grouped_kernel comment)
+    gcols = gcols.reshape(-1)
+    return pl.pallas_call(
+        functools.partial(_paired_kernel, T=T, G=G, ngroups=ngroups),
+        out_shape=jax.ShapeDtypeStruct(Xf.shape, Xf.dtype),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # pair rows (flat)
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # group cols (flat)
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # X (resident)
+            pl.BlockSpec(memory_space=pl.ANY),    # wide tiles (HBM)
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * ngroups * Xf.shape[0] * 2 * T * G * T,
             bytes_accessed=wide.size * 4 + 2 * Xf.size * 4,
             transcendentals=0,
         ),

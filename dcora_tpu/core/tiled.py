@@ -445,13 +445,21 @@ def build_tiled(P: prob.ProblemData, dims: ProblemDims, T: int = 128,
     meta = TiledMeta(d=d, n=n, l=l, b=b, T=T, nt=nt)
     grp_buckets = None
     if with_pallas:
-        from dcora_tpu.core.pallas_spmm import build_row_groups_bucketed
+        from dcora_tpu.core.pallas_spmm import (
+            build_row_groups_bucketed,
+            build_row_pairs_bucketed,
+        )
 
+        # two-row K-fused packing halves MXU issues per streamed tile —
+        # the r_pad=8 issue-bound fix (NOTES r_pad sweep); single-row
+        # bucketed packing stays selectable for comparison
+        packer = (build_row_pairs_bucketed
+                  if os.environ.get("DCORA_SPMM_PACK", "paired") == "paired"
+                  else build_row_groups_bucketed)
         up = trow <= tcol
         grp_buckets = tuple(
             (conv(gr), conv(gc), conv(gw))
-            for gr, gc, gw in build_row_groups_bucketed(
-                trow[up], tcol[up], dense[up], T=T)
+            for gr, gc, gw in packer(trow[up], tcol[up], dense[up], T=T)
         )
     # Pad the tile list to a multiple of the apply-time chunk so the
     # scan-chunked SpMM can reshape in place: padding inside apply would

@@ -333,6 +333,20 @@ def run(num_robots: int, g2o_path: str, acceleration: bool = True,
                     if dicts is not None:
                         a.update_neighbor_states(b_.id, dicts[0])
 
+            # cost stagnation over one full selection sweep is an
+            # earlier (and cheaper) convergence signal than the central
+            # gradnorm gate: RBCD progress per round decays long before
+            # the gradient norm crosses the gate, and residuals measured
+            # at a stalled estimate are as good as ones at a
+            # gradnorm-gated estimate for the mu ramp (the terminal
+            # repair pass re-judges every weight at full convergence
+            # regardless)
+            stagnated = (
+                len(cost_trace) > num_robots
+                and abs(cost_trace[-1] - cost_trace[-1 - num_robots])
+                <= 1e-5 * max(1.0, abs(cost_trace[-1]))
+            )
+
             if robust:
                 # status gossip: every agent sees the team's convergence
                 # state (in the reference this is the ROS status topic)
@@ -350,19 +364,6 @@ def run(num_robots: int, g2o_path: str, acceleration: bool = True,
                 # rejections on sphere2500.  A hard cap (5x the inner
                 # budget) keeps a stalled round from blocking GNC.
                 hard_cap = 5 * robust_inner_iters
-                # cost stagnation over one full selection sweep is an
-                # earlier (and cheaper) convergence signal than the
-                # central gradnorm gate: RBCD progress per round decays
-                # long before the gradient norm crosses the gate, and
-                # residuals measured at a stalled estimate are as good as
-                # ones at a gradnorm-gated estimate for the mu ramp (the
-                # terminal repair pass re-judges every weight at full
-                # convergence regardless)
-                stagnated = (
-                    len(cost_trace) > num_robots
-                    and abs(cost_trace[-1] - cost_trace[-1 - num_robots])
-                    <= 1e-5 * max(1.0, abs(cost_trace[-1]))
-                )
                 gate_ok = (gradnorm < update_gate) or stagnated or any(
                     a.robust_opt_inner_iter >= hard_cap for a in agents)
                 any_update = False
@@ -448,34 +449,42 @@ def run(num_robots: int, g2o_path: str, acceleration: bool = True,
                 a.weight_update_count >= a.params.robustOptNumWeightUpdates
                 for a in agents
             )
+            # Terminal weight repair: re-judge every GNC weight at the
+            # now-CONVERGED estimate (current mu, schedule untouched).
+            # Mid-stream updates measure residuals at partially converged
+            # estimates, so borderline inliers get rejected by residual
+            # noise; the central loop never ships those because its last
+            # update follows a full re-solve (DCORA_solver.cpp:366-409).
+            # If any weight flips, keep iterating to re-converge the
+            # repaired problem and re-judge again (bounded passes).
+            # Re-entry after the first pass fires on STAGNATION, not full
+            # tolerance: a repair typically flips a handful of edges and
+            # re-judging them needs a settled estimate, not a tol_eff-deep
+            # solve of the whole graph.
+            if (robust and robust_done
+                    and repair_passes < max_repair_passes
+                    and (gradnorm < tol_eff
+                         or (repair_passes > 0 and stagnated
+                             and gradnorm < update_gate))):
+                repair_passes += 1
+                changed = 0
+                for a in agents:
+                    _refresh_neighbors(a)
+                    changed += a.reclassify_measurement_weights()
+                if changed:
+                    logger.info(
+                        "GNC repair pass %d: %d weights re-judged at "
+                        "settled estimate (gradnorm %.3e)",
+                        repair_passes, changed, gradnorm)
+                    weight_state.update(
+                        _collect_weights(agents, n, num_robots))
+                    _apply_weights(measurements, weight_state, n,
+                                   num_robots, local=False)
+                    central.set_measurements(measurements)
+                    P = central.problem_data()
+                    total_iter += 1
+                    continue
             if gradnorm < tol_eff and robust_done:
-                # Terminal weight repair: re-judge every GNC weight at the
-                # now-CONVERGED estimate (current mu, schedule untouched).
-                # Mid-stream updates measure residuals at partially
-                # converged estimates, so borderline inliers get rejected
-                # by residual noise; the central loop never ships those
-                # because its last update follows a full re-solve
-                # (DCORA_solver.cpp:366-409).  If any weight flips, keep
-                # iterating to re-converge the repaired problem and
-                # re-judge again, up to a bounded number of passes.
-                if robust and repair_passes < max_repair_passes:
-                    repair_passes += 1
-                    changed = 0
-                    for a in agents:
-                        _refresh_neighbors(a)
-                        changed += a.reclassify_measurement_weights()
-                    if changed:
-                        logger.info(
-                            "GNC repair pass %d: %d weights re-judged at "
-                            "converged estimate", repair_passes, changed)
-                        weight_state.update(
-                            _collect_weights(agents, n, num_robots))
-                        _apply_weights(measurements, weight_state, n,
-                                       num_robots, local=False)
-                        central.set_measurements(measurements)
-                        P = central.problem_data()
-                        total_iter += 1
-                        continue
                 break
 
             # greedy selection by block gradient norm (reference: :289-305)

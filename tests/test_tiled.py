@@ -393,3 +393,36 @@ def test_apply_tiled_chunked_matches_unchunked(data_dir, monkeypatch):
     out = tiled.apply_tiled(TP, Xf)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-12, atol=1e-9)
+
+
+def test_spmm_paired_matches_xla_path():
+    """Two-row K-fused packing (interpret mode) == XLA tiles, preserving
+    every stored tile exactly once (diagonal (r2, r2) tiles routed to the
+    single-row leftover bucket; pad slots zero)."""
+    from dcora_tpu.core import pallas_spmm
+
+    rng = np.random.default_rng(7)
+    g = _random_ra_graph(rng, n=30, l=8, b=4)
+    P = g.problem_data()
+    TP = tiled.build_tiled(P, g.dims, T=32, dtype=np.float32)
+    trow = np.asarray(TP.Q.tile_rows)
+    tcol = np.asarray(TP.Q.tile_cols)
+    dense = np.asarray(TP.Q.tiles)
+    up = trow <= tcol
+    buckets = pallas_spmm.build_row_pairs_bucketed(
+        trow[up], tcol[up], dense[up], T=32)
+    # tile mass preserved exactly once across paired + leftover buckets
+    tot = sum(float(np.abs(gw).sum()) for _, _, gw in buckets)
+    np.testing.assert_allclose(tot, float(np.abs(dense[up]).sum()),
+                               rtol=1e-6)
+    assert any(gw.shape[1] == 64 for _, _, gw in buckets), \
+        "no two-row fused bucket produced"
+    Xf = jnp.asarray(rng.standard_normal((8, TP.meta.kpad))
+                     .astype(np.float32))
+    ref = tiled.apply_tiled(TP, Xf)
+    buckets_j = [(jnp.asarray(a), jnp.asarray(b), jnp.asarray(c))
+                 for a, b, c in buckets]
+    out = pallas_spmm.spmm_bucketed(buckets_j, Xf, T=32, interpret=True)
+    scale = float(jnp.max(jnp.abs(ref))) + 1e-30
+    np.testing.assert_allclose(np.asarray(out) / scale,
+                               np.asarray(ref) / scale, atol=2e-6)

@@ -67,6 +67,10 @@ def main():
     ap.add_argument("--platform", default="cpu", choices=["cpu", "tpu"])
     args = ap.parse_args()
 
+    import logging
+
+    logging.basicConfig(level=logging.INFO,
+                        format="%(asctime)s %(name)s: %(message)s")
     import jax
 
     if args.platform == "cpu":
