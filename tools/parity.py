@@ -60,8 +60,10 @@ CONFIGS = {
                      eta=1e-3),
     "kitti_06": dict(kind="pgo", file="kitti_06.g2o", r_min=5, r_max=12,
                      eta=1e-3),
+    # rtr_iters raised: the 200-outer budget stalled at gradnorm 3.9e-3
+    # against eta=1e-3, leaving cert_slack above the claimed tolerance
     "kitti_07": dict(kind="pgo", file="kitti_07.g2o", r_min=5, r_max=12,
-                     eta=1e-3),
+                     eta=1e-3, rtr_iters=600),
     "kitti_08": dict(kind="pgo", file="kitti_08.g2o", r_min=5, r_max=12,
                      eta=1e-3),
     "kitti_09": dict(kind="pgo", file="kitti_09.g2o", r_min=5, r_max=12,
@@ -72,8 +74,10 @@ CONFIGS = {
                         r_max=12, eta=1e-3),
     "input_MITb": dict(kind="pgo", file="input_MITb_g2o.g2o", r_min=5,
                        r_max=12, eta=1e-3),
+    # rtr_iters raised (see kitti_07): round-4 certified at gradnorm
+    # 6.1e-3 > eta; the deeper budget drives cert_slack below tolerance
     "ais2klinik": dict(kind="pgo", file="ais2klinik.g2o", r_min=5,
-                       r_max=12, eta=1e-3),
+                       r_max=12, eta=1e-3, rtr_iters=600),
     # 3D PGO benchmarks
     "sphere_bignoise": dict(kind="pgo", file="sphere_bignoise_vertex3.g2o",
                             r_min=5, r_max=12, eta=1e-3),
@@ -128,7 +132,9 @@ def run_pgo(path, cfg):
     res = riemannian_staircase(
         g, X0, r_min=cfg["r_min"], r_max=cfg["r_max"],
         opt_params=ROptParameters(
-            gradnorm_tol=1e-4, RTR_iterations=200, RTR_tCG_iterations=200
+            gradnorm_tol=cfg.get("gradnorm_tol", 1e-4),
+            RTR_iterations=cfg.get("rtr_iters", 200),
+            RTR_tCG_iterations=cfg.get("tcg_iters", 200),
         ),
         min_eig_num_tol=cfg["eta"], verbose=True,
     )
@@ -387,7 +393,12 @@ reference flagship config (README.md:20-27, examples/*.cpp):
 
 A solution that passes the independent certificate check IS the optimum
 the reference computes; matching `f*` across both Q constructions to all
-printed digits rules out cost-convention drift.  Cost convention: the
+printed digits rules out cost-convention drift.  The *LDL witness*
+column is the certification basis: `certified (scipy)` is True ONLY
+when an LDL^T inertia factorization proves S + eta*I >= 0 (True in that
+column); eigensolver estimates never certify (they locate SOME eigenpair,
+not provably the bottom one — the tiers.pyfg false-certification class).
+Cost convention: the
 multi-robot rows report the reference's printed scale 2*f
 (MultiRobotExample.cpp:280); single-robot rows report f = 0.5<XQ,X>.
 ATE is Umeyama-aligned RMSE vs the dataset's embedded vertex estimates
@@ -411,9 +422,9 @@ def summarize():
             rows.append((f[:-5], rec))
     lines = [
         "| config | platform | certified (engine) | certified (scipy) | "
-        "rank | f* | f* (scipy Q) | indep gradnorm | indep min-eig | "
-        "ATE vs GT | wall s |",
-        "|---|---|---|---|---|---|---|---|---|---|---|",
+        "LDL witness | rank | f* | f* (scipy Q) | indep gradnorm | "
+        "indep min-eig | ATE vs GT | wall s |",
+        "|---|---|---|---|---|---|---|---|---|---|---|---|",
     ]
     for name, r in rows:
         ate = r.get("ate_vs_gt")
@@ -421,6 +432,7 @@ def summarize():
         lines.append(
             f"| {name} | {r.get('platform','?')} | "
             f"{r.get('certified')} | {r.get('certified_indep')} | "
+            f"{r.get('psd_proof_indep')} | "
             f"{r.get('final_rank')} | "
             f"{f_final if f_final is None else f'{f_final:.6f}'} | "
             f"{r['f_indep']:.6f} | {r['gradnorm_indep']:.2e} | "
