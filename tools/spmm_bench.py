@@ -143,6 +143,26 @@ def main():
         print(f"Pallas bucketed: FAILED {type(e).__name__}: "
               f"{str(e)[:200]}")
 
+    # two-row K-fused pairing (halves MXU issues; the r_pad=8 fix)
+    pbuckets = pallas_spmm.build_row_pairs_bucketed(
+        trow[up], tcol[up], dense[up], T=T)
+    pj = [(jnp.asarray(gr), jnp.asarray(gc), jnp.asarray(gw))
+          for gr, gc, gw in pbuckets]
+    mb = sum(gw.size for _, _, gw in pbuckets) * 4 / 1e6
+    widths = [gc.shape[1] for _, gc, _ in pbuckets]
+    npair = sum(len(b[0]) for b in pbuckets
+                if b[2].shape[1] == 2 * T)
+    try:
+        t_pair, out = timeit(
+            lambda X: pallas_spmm.spmm_bucketed(pj, X, T=T), Xf)
+        print(f"Pallas paired W={widths} "
+              f"({npair:5d} fused grp, {mb:6.1f} MB): "
+              f"{t_pair * 1e3:8.3f} ms")
+        check(out, "paired")
+    except Exception as e:  # noqa: BLE001
+        print(f"Pallas paired: FAILED {type(e).__name__}: "
+              f"{str(e)[:200]}")
+
 
 if __name__ == "__main__":
     main()
