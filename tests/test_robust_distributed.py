@@ -68,3 +68,50 @@ def test_distributed_gnc_rejects_planted_outliers(tmp_path):
             assert w < 0.1, f"outlier ({p1},{p2}) kept weight {w}"
         else:
             assert w > 0.9, f"inlier ({p1},{p2}) downweighted to {w}"
+
+
+def test_terminal_repair_recovers_false_rejection(tmp_path):
+    """A clean edge wrongly driven to weight 0 (the mid-stream
+    misclassification mode: residuals judged at an unconverged estimate)
+    must recover through Agent.reclassify_measurement_weights once the
+    estimate converges — while a gross outlier stays rejected."""
+    import jax.numpy as jnp
+
+    from dcora_tpu.agent import Agent
+    from dcora_tpu.core import lifted
+    from dcora_tpu.io import read_g2o_file
+    from dcora_tpu.types import AgentParameters
+
+    path = str(tmp_path / "repair.g2o")
+    generate_grid_g2o(path, shape=(4, 4, 1), rot_noise=0.0,
+                      trans_noise=0.0, loop_radius=1.5, loop_prob=1.0,
+                      seed=3, kappa=100.0, tau=100.0)
+    planted = _plant_outliers(path, num_private=1, num_shared=0,
+                              n_split=16)
+    ds = read_g2o_file(path)
+
+    rcp = RobustCostParameters(costType=RobustCostType.GNC_TLS)
+    params = AgentParameters(d=3, r=3, robotIDs=frozenset({0}),
+                             robustCostParams=rcp)
+    a = Agent(0, params)
+    a.set_measurements(ds.pose_pose_measurements)
+    a.initialize()
+    # converged estimate = the noiseless ground truth
+    T = np.stack([np.asarray(ds.ground_truth_poses[k])
+                  for k in sorted(ds.ground_truth_poses)])
+    a.set_X(lifted.from_pose_array(T))
+    # drive mu high enough that the TLS band is decisive
+    a.set_gnc_mu(100.0)
+
+    # wrongly reject one clean loop closure
+    victim = next(m for m in a.graph.active_loop_closures()
+                  if not m.fixedWeight
+                  and (m.p1, m.p2) not in planted)
+    victim.weight = 0.0
+
+    changed = a.reclassify_measurement_weights()
+    assert changed >= 1
+    assert victim.weight > 0.9, victim.weight
+    for m in a.graph.active_loop_closures():
+        if (m.p1, m.p2) in planted and not m.fixedWeight:
+            assert m.weight < 0.1, (m.p1, m.p2, m.weight)
