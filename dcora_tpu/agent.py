@@ -613,6 +613,16 @@ class Agent:
                               opt.RGD_stepsize)
             self.local_opt_result = None
             return True
+        # One-accepted-step trust region (the reference's Max_Iteration==1
+        # radius-shrink path, QuadraticOptimizer.cpp:254-280).  The
+        # reference's default is multi-outer (Max_Iteration =
+        # RTR_iterations = 3, :249), but measured here multi-outer block
+        # solves consistently stall the staircase on this pipeline
+        # (tinyGrid3D 2-robot: certified rank 5 in 55 iters with one
+        # accepted step vs uncertified at the r_max cap with cost 39x
+        # higher under max_outer=3, with or without acceleration) — the
+        # bounded per-block step keeps the sequential RBCD inside the
+        # basin the staircase's saddle escapes steer it into.
         cfg = RTRConfig(
             gradnorm_tol=opt.gradnorm_tol,
             max_inner=opt.RTR_tCG_iterations,
