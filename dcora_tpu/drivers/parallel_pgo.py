@@ -28,6 +28,7 @@ Two-process CPU smoke test: tests/test_multihost.py.
 from __future__ import annotations
 
 import argparse
+import logging
 import os
 import time
 from typing import List
@@ -192,9 +193,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("num_agents", type=int)
     ap.add_argument("g2o")
-    ap.add_argument("--rank", type=int, default=5)
-    ap.add_argument("--rounds", type=int, default=1000)
-    ap.add_argument("--tol", type=float, default=0.1)
+    ap.add_argument("--rank", type=int, default=None)
+    ap.add_argument("--rounds", type=int, default=None)
+    ap.add_argument("--tol", type=float, default=None)
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (virtual devices)")
     ap.add_argument("--backend", default="auto",
@@ -208,6 +209,9 @@ def main():
                     default=int(os.environ.get("JAX_NUM_PROCESSES", "0")))
     ap.add_argument("--process-id", type=int,
                     default=int(os.environ.get("JAX_PROCESS_ID", "-1")))
+    from dcora_tpu.config import DcoraConfig, resolve
+
+    DcoraConfig.add_cli(ap)
     args = ap.parse_args()
     if args.cpu:
         import jax
@@ -216,9 +220,13 @@ def main():
     if args.coordinator and args.num_processes > 1:
         init_multihost(args.coordinator, args.num_processes,
                        args.process_id)
-    run(args.num_agents, args.g2o, r=args.rank, max_rounds=args.rounds,
-        rgrad_norm_tol=args.tol, verbose=args.verbose,
-        backend=args.backend)
+    cfg = DcoraConfig.from_cli(args)
+    logging.getLogger(__name__).info("config:\n%s", cfg.dump())
+    run(args.num_agents, args.g2o,
+        r=resolve(args.rank, cfg.staircase.r_min),
+        max_rounds=resolve(args.rounds, cfg.rbcd.num_iters),
+        rgrad_norm_tol=resolve(args.tol, cfg.rbcd.rgrad_norm_tol),
+        verbose=args.verbose, backend=args.backend)
 
 
 if __name__ == "__main__":

@@ -148,20 +148,28 @@ def main():
     ap.add_argument("pyfg")
     ap.add_argument("--rank", type=int, default=0,
                     help="relaxation rank (default: d)")
-    ap.add_argument("--rounds", type=int, default=1000)
-    ap.add_argument("--tol", type=float, default=0.1)
+    ap.add_argument("--rounds", type=int, default=None)
+    ap.add_argument("--tol", type=float, default=None)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--backend", default="auto",
                     choices=["auto", "edge", "tiled"])
     ap.add_argument("--verbose", action="store_true")
+    from dcora_tpu.config import DcoraConfig, resolve
+
+    DcoraConfig.add_cli(ap)
     args = ap.parse_args()
     if args.cpu:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
-    run(args.pyfg, r=args.rank, max_rounds=args.rounds,
-        rgrad_norm_tol=args.tol, verbose=args.verbose,
-        backend=args.backend)
+    cfg = DcoraConfig.from_cli(args)
+    import logging
+
+    logging.getLogger(__name__).info("config:\n%s", cfg.dump())
+    run(args.pyfg, r=args.rank,
+        max_rounds=resolve(args.rounds, cfg.rbcd.num_iters),
+        rgrad_norm_tol=resolve(args.tol, cfg.rbcd.rgrad_norm_tol),
+        verbose=args.verbose, backend=args.backend)
 
 
 if __name__ == "__main__":
