@@ -130,6 +130,11 @@ def riemannian_staircase(
 
         res = solve_at_rank(X)
         X = res.X
+        if checkpoint_path:
+            # mid-rank persistence: at g2o100k scale a single rank's
+            # retry sequence outlives preemption windows, so save after
+            # every solver call, not only at rank completion
+            save_checkpoint(checkpoint_path, X, r)
         # When the iteration budget runs out above tolerance, keep
         # optimizing at THIS rank while the cost still falls: certifying
         # (and saddle-escaping) a non-critical point wastes a staircase
@@ -161,6 +166,8 @@ def riemannian_staircase(
                 res = res_prev
                 break
             X = res.X
+            if checkpoint_path:
+                save_checkpoint(checkpoint_path, X, r)
             if rel < 1e-10 and float(res.gradnorm_final) >= \
                     float(res_prev.gradnorm_final):
                 break  # genuine stall: let certification decide
