@@ -257,9 +257,21 @@ def rtr_fast(g: LocalGraph, P: prob.ProblemData, M, X0: RAState,
     # tunneled TPU worker.
     m_edges = int(P.pp_ri.shape[0]) + int(P.pl_ri.shape[0]) + \
         int(P.rg_ti.shape[0])
-    per_outer_s = (cfg.max_inner + 3) * 3.5e-6 * max(m_edges, 1)
+    per_inner_s = 3.5e-6 * max(m_edges, 1)
+    cfg_e = cfg
+    per_outer_s = (cfg.max_inner + 3) * per_inner_s
+    if per_outer_s > 15.0:
+        # chunk=1 is the floor for rtr_chunked, but ONE outer is itself a
+        # single device call of (max_inner tCG steps): at g2o100k scale
+        # (322k edges x 50 inners ~ 59 s) that alone crashed the tunneled
+        # TPU worker.  Shrink the per-outer tCG budget so a single outer
+        # stays ~15 s; tCG restarts every outer, so a smaller inner
+        # budget costs extra outers, not correctness.
+        inner_eff = max(8, int(15.0 / per_inner_s) - 3)
+        cfg_e = dataclasses.replace(cfg, max_inner=inner_eff)
+        per_outer_s = (inner_eff + 3) * per_inner_s
     chunk3 = max(1, min(4, int(20.0 / max(per_outer_s, 1e-9))))
-    return rtr_chunked(P, G, M, X_warm, cfg, chunk=chunk3), TP
+    return rtr_chunked(P, G, M, X_warm, cfg_e, chunk=chunk3), TP
 
 
 def solve_pgo(measurements: List[RelativePosePoseMeasurement],
