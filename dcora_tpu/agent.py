@@ -875,11 +875,15 @@ class Agent:
                 cnt += 1
         return cnt
 
-    def set_gnc_mu(self, mu: float):
+    def set_gnc_mu(self, mu: float, reset_schedule: bool = False):
         """Override the GNC control parameter (driver-coordinated adaptive
         init: every agent must share one mu for the weights to agree on
-        shared edges)."""
+        shared edges).  ``reset_schedule`` zeroes the mu-update counter so
+        a terminal re-annealing pass can ramp mu again (the counter
+        otherwise freezes mu after GNCMaxNumIters updates)."""
         self.robust_cost.mu = float(mu)
+        if reset_schedule:
+            self.robust_cost._gnc_iteration = 0
 
     def set_measurement_weight(self, edge_id, weight: float,
                                fixed_weight: bool = False) -> bool:

@@ -254,6 +254,7 @@ def run(num_robots: int, g2o_path: str, acceleration: bool = True,
     extra_updates = 0
     repair_passes = 0
     max_repair_passes = 8
+    reannealed = False
 
     # optimize at every rank entered, including an escape landing at r_max
     # (reference optimizes each entered rank; see staircase.py note)
@@ -471,6 +472,32 @@ def run(num_robots: int, g2o_path: str, acceleration: bool = True,
                 for a in agents:
                     _refresh_neighbors(a)
                     changed += a.reclassify_measurement_weights()
+                if changed == 0 and not reannealed:
+                    # Re-annealing: a reclassify that changes NOTHING at
+                    # the converged estimate does not prove the weights
+                    # right — a mid-stream false rejection excludes the
+                    # edge from the cost, the estimate re-converges
+                    # without it, and the rejection becomes
+                    # SELF-CONSISTENT (measured on sphere2500: 53 clean
+                    # edges stuck at weight 0, residuals judged against
+                    # the drifted reduced-problem optimum).  Re-open the
+                    # TLS band (mu = 0.2: residuals < ~2.4*barc regain
+                    # partial weight, gross outliers stay at 0) and ramp
+                    # mu again from the current, now-converged estimate:
+                    # edges consistent with the graph pull the estimate
+                    # back and their residuals drop below the closing
+                    # band; true outliers never do.  This is the
+                    # annealing the central loop effectively gets by
+                    # re-solving to convergence every stage
+                    # (DCORA_solver.cpp:366-409).
+                    reannealed = True
+                    for a in agents:
+                        a.set_gnc_mu(0.2, reset_schedule=True)
+                        a.params.robustOptNumWeightUpdates += 20
+                        changed += a.reclassify_measurement_weights()
+                    logger.info(
+                        "GNC re-anneal: mu reset to 0.2, %d weights "
+                        "re-opened, +20 update budget", changed)
                 if changed:
                     logger.info(
                         "GNC repair pass %d: %d weights re-judged at "

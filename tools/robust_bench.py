@@ -178,7 +178,55 @@ def main():
             final_cost=res.cost_trace[-1] if res.cost_trace else None,
             elapsed_s=time.time() - t0,
         )
-        print(json.dumps(rec["distributed"]), flush=True)
+        # diagnose misclassifications: residual of each FP/FN edge at
+        # the rounded final estimate, plus whether it crosses a robot
+        # boundary (shared) — distinguishes "reclassify should have
+        # caught it" (resid < barc) from "estimate drifted to a
+        # self-consistent reduced-problem optimum" (resid >> barc)
+        if fp or fn:
+            from dcora_tpu.core.certify import round_solution
+
+            Xr = round_solution(res.X)
+            rot = np.asarray(Xr.rot)
+            trn = np.asarray(Xr.trn)
+            npp = ds.num_poses
+
+            def blk(p):
+                return min(p // max(npp // args.robots, 1),
+                           args.robots - 1)
+
+            details = []
+            for m in corrupted:
+                if m.fixedWeight:
+                    continue
+                key = (m.p1, m.p2)
+                w = res.weights.get(key)
+                if w is None:
+                    continue
+                is_fp = key not in outlier_keys and w < 0.5
+                is_fn = key in outlier_keys and w >= 0.5
+                if not (is_fp or is_fn):
+                    continue
+                Y1, Y2 = rot[m.p1], rot[m.p2]
+                p1_, p2_ = trn[m.p1], trn[m.p2]
+                err = (m.kappa * ((Y1 @ m.R - Y2) ** 2).sum()
+                       + m.tau * ((p2_ - p1_ - Y1 @ m.t) ** 2).sum())
+                details.append(dict(
+                    key=list(key), w=float(w),
+                    resid=float(np.sqrt(err)),
+                    shared=bool(blk(m.p1) != blk(m.p2)),
+                    kind="fp" if is_fp else "fn",
+                ))
+            rec["distributed"]["misclassified"] = details
+            rs = [d["resid"] for d in details]
+            print(json.dumps(dict(
+                n_misclassified=len(details),
+                n_shared=sum(d["shared"] for d in details),
+                resid_min=min(rs), resid_max=max(rs),
+                resid_median=float(np.median(rs)),
+            )), flush=True)
+        print(json.dumps({k: v for k, v in rec["distributed"].items()
+                          if k != "misclassified"}), flush=True)
 
     rec["platform"] = jax.default_backend()
     rec["timestamp"] = time.strftime("%Y-%m-%d %H:%M:%S")
