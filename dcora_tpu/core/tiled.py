@@ -450,11 +450,18 @@ def build_tiled(P: prob.ProblemData, dims: ProblemDims, T: int = 128,
             build_row_pairs_bucketed,
         )
 
-        # two-row K-fused packing halves MXU issues per streamed tile —
-        # the r_pad=8 issue-bound fix (NOTES r_pad sweep); single-row
-        # bucketed packing stays selectable for comparison
+        # two-row K-fused packing halves MXU issues per streamed tile,
+        # and the r_pad=8 microbenchmark shows it far ahead (0.040 ms vs
+        # 0.138 ms bucketed on city10000) — but the number is below the
+        # bytes roofline (anomalous; cf. the round-4 "0.013 ms" XLA
+        # outlier at r_pad=8) and the END-TO-END RTR headline regressed
+        # 7% under paired (3.05M vs 3.27M poses*iters/s), while at
+        # r_pad=16 paired pays its ~1.4x extra streamed bytes
+        # (0.169 ms vs 0.113).  Bucketed stays the default; paired is
+        # selectable for future re-measurement.
         packer = (build_row_pairs_bucketed
-                  if os.environ.get("DCORA_SPMM_PACK", "paired") == "paired"
+                  if os.environ.get("DCORA_SPMM_PACK",
+                                    "bucketed") == "paired"
                   else build_row_groups_bucketed)
         up = trow <= tcol
         grp_buckets = tuple(
