@@ -123,7 +123,12 @@ def rtr_fast(g: LocalGraph, P: prob.ProblemData, M, X0: RAState,
 
     from dcora_tpu.core import tiled
     from dcora_tpu.core.manifold import project
-    from dcora_tpu.core.rtr import FLAT_BACKEND, rtr, rtr_chunked
+    from dcora_tpu.core.rtr import (
+        FLAT_BACKEND,
+        RTRResult,
+        rtr,
+        rtr_chunked,
+    )
 
     r = X0.r
     r_pad = max(8, -(-r // 8) * 8)
@@ -257,16 +262,40 @@ def rtr_fast(g: LocalGraph, P: prob.ProblemData, M, X0: RAState,
     # tunneled TPU worker.
     m_edges = int(P.pp_ri.shape[0]) + int(P.pl_ri.shape[0]) + \
         int(P.rg_ti.shape[0])
+    if m_edges > 150_000 and jax.default_backend() not in ("cpu",):
+        # The exact edge-path finish is not viable on the tunneled chip
+        # at this scale: one 50-inner outer (~59 s of gather/scatter
+        # SpMVs) crashed the TPU worker outright, and a shrunk-inner
+        # variant hung the worker during the rank-5 finish (two g2o100k
+        # attempts).  Finish on f64 TILES instead — native MXU SpMMs in
+        # watchdog-safe chunks — and report the exact edge-path cost and
+        # gradnorm from one probe (a single SpMV is fine; it is the
+        # sustained minutes-long edge programs that die).
+        from dcora_tpu.core import problem as prob
+
+        if TP.f64 is None:
+            TP.f64 = tiled.build_tiled(P, g.dims, precond=M, reg=reg,
+                                       dtype=np.float64,
+                                       tile_precond=tile_pc)
+        X_fin, _ = drive_tiled(TP.f64, X_warm, chunk=4)
+        Wf = RA_BACKEND.applyQ(P, X_fin)
+        egf = Wf if G is None else tadd(Wf, G)
+        gn_exact = tnorm(RA_BACKEND.tangent(P, X_fin, egf))
+        f_exact = prob.cost(P, X_fin, G)
+        return RTRResult(
+            X=X_fin, f_final=f_exact, gradnorm_final=gn_exact,
+            outer_iters=jnp.asarray(cfg.max_outer),
+            accepted=jnp.asarray(True),
+        ), TP
     per_inner_s = 3.5e-6 * max(m_edges, 1)
     cfg_e = cfg
     per_outer_s = (cfg.max_inner + 3) * per_inner_s
     if per_outer_s > 15.0:
         # chunk=1 is the floor for rtr_chunked, but ONE outer is itself a
-        # single device call of (max_inner tCG steps): at g2o100k scale
-        # (322k edges x 50 inners ~ 59 s) that alone crashed the tunneled
-        # TPU worker.  Shrink the per-outer tCG budget so a single outer
-        # stays ~15 s; tCG restarts every outer, so a smaller inner
-        # budget costs extra outers, not correctness.
+        # single device call of (max_inner tCG steps); shrink the
+        # per-outer tCG budget so a single outer stays ~15 s.  tCG
+        # restarts every outer, so a smaller inner budget costs extra
+        # outers, not correctness.
         inner_eff = max(8, int(15.0 / per_inner_s) - 3)
         cfg_e = dataclasses.replace(cfg, max_inner=inner_eff)
         per_outer_s = (inner_eff + 3) * per_inner_s
