@@ -630,7 +630,18 @@ def escape_saddle(P: ProblemData, X_opt: RAState, theta: float,
         return float(prob.cost(P, Xs, G))
 
     alpha_min = 1e-6
-    alpha = (max(16 * alpha_min, 100 * gradient_tolerance / abs(theta))
+    # Backtrack from alpha >= 1, never only from the second-order
+    # heuristic step 100*gtol/|theta| (SE-Sync Alg. 7 / reference
+    # QuadraticProblem.cpp:138-234).  The heuristic assumes the iterate
+    # is critical to ~gradient_tolerance; the staircase converges ranks
+    # to their solver floor (1e-3..1e-4), where a heuristic alpha of
+    # O(1e-5) yields a curvature gain of 0.5*|theta|*alpha^2 ~ 1e-9 —
+    # BELOW the constant retraction-projection offset of evaluating f at
+    # the retracted trial (+1.4e-9 measured on tiers.pyfg rank 2,
+    # theta=-4.7), so every trial read as an increase and a decisively
+    # negative direction was rejected.  At alpha ~ 1 the decrease is
+    # O(|theta|) and unambiguous; halving handles any overshoot.
+    alpha = (max(1.0, 100 * gradient_tolerance / abs(theta))
              if is_second_order else 1.0)
 
     # one compiled call per line-search trial (the eager form dispatched
@@ -648,7 +659,11 @@ def escape_saddle(P: ProblemData, X_opt: RAState, theta: float,
             pgnorm = gnorm
         return ftest, gnorm, pgnorm
 
-    fX_plus = f(X_plus)
+    # Baseline at the RETRACTED lift: retraction re-projects the trial
+    # point, shifting f by a constant O(1e-9) independent of alpha; the
+    # un-retracted f(X_plus) baseline mixes that offset into the
+    # decrease test (see the alpha note above).
+    fX_plus = f(retract(X_plus, X_dot.scale(0.0)))
     alphas, fvals = [], []
     while alpha >= alpha_min:
         ftest_j, gnorm_j, pgnorm_j = _trial(jnp.asarray(alpha))

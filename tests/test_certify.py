@@ -168,3 +168,54 @@ def test_inertia_proof_is_final_and_bracketed():
     lo, hi = _inertia_bracket_min_eig(S, eta)
     assert lo <= 3.2e-3 <= hi * (1 + 1e-9)
     assert hi <= 3.2e-3 * 4  # bracket is tight, not a doubling overshoot
+
+
+def test_escape_from_floor_converged_saddle_gives_theta_scale_decrease(
+        data_dir):
+    """Regression for the tiers.pyfg rank-2 escape failure: at an iterate
+    converged only to its solver floor (gradnorm ~1e-3), the second-order
+    alpha heuristic (100*gtol/|theta| ~ 1e-5) yields a curvature gain of
+    0.5*|theta|*alpha^2 ~ 1e-9 — below the constant retraction-projection
+    offset of the cost evaluation, so every line-search trial read as an
+    increase and a decisively negative direction (theta=-4.7) was
+    rejected.  The fix backtracks from alpha >= 1, where the decrease is
+    O(|theta|).  This asserts the decrease MAGNITUDE, which the old
+    heuristic could not deliver even when it nominally succeeded."""
+    from dcora_tpu.io import read_pyfg_file
+    from dcora_tpu.io.remap import get_global_measurements
+    from dcora_tpu.types import GraphType
+
+    ds = read_pyfg_file(f"{data_dir}/range_aided_slam_test_2d.pyfg")
+    gm = get_global_measurements(ds)
+    d = ds.dim
+    g = LocalGraph(0, d, d, GraphType.RangeAidedSLAMGraph)
+    g.set_measurements(gm.relative_measurements)
+    P = g.problem_data()
+
+    # force a rank-d critical point (r_max=d stops at the rank cap);
+    # the rank-2 relaxation of this dataset is a saddle (the recorded
+    # parity staircase certifies at rank 3)
+    import jax.random as jr
+
+    X0 = manifold.random_state(jr.PRNGKey(0), g.dims, d)
+    res = riemannian_staircase(
+        g, X0, r_min=d, r_max=d,
+        opt_params=ROptParameters(
+            gradnorm_tol=1e-3, RTR_iterations=200,
+            RTR_tCG_iterations=200,
+        ),
+        min_eig_num_tol=1e-4,
+    )
+    assert not res.certified
+    is_psd, theta, v = certify.fast_verification(P, res.X, 1e-4, 100)
+    assert is_psd is False and theta < -1e-3
+
+    ok, X_next = certify.escape_saddle(
+        P, res.X, theta, v, d + 1, is_second_order=True)
+    assert ok
+    G = lifted.zeros(g.dims, d + 1)
+    f_before = float(prob.cost(P, lifted.pad_rank(res.X, d + 1), G))
+    f_after = float(prob.cost(P, X_next, G))
+    # decrease must be of curvature scale, not noise scale: alpha >= 1
+    # trials give ~0.5*|theta| (the old heuristic topped out ~1e-9)
+    assert f_before - f_after >= 0.05 * abs(theta)
