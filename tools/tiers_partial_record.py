@@ -71,12 +71,17 @@ def main():
         "gradnorm_final": gn,
         "note": (
             "staircase in progress at round end under the fail-closed "
-            "certifier: the rank-2 critical point (f=2050.101295, the "
-            "round-4 run's f_rounded) is LDL-proven indefinite and was "
-            "correctly escaped (the round-4 artifact falsely certified "
-            "its rank-4 descendant); resume from "
-            "artifacts/tiers_checkpoint_r5.npz via "
-            "tools/parity.py --configs tiers"
+            "certifier (TPU trace, 2026-08-21): rank 2 f=2050.101295 "
+            "(exactly the round-4 run's f_rounded) gradnorm 4.4e-4, "
+            "LDL-proven indefinite theta=-4.7 -> escaped; rank 3 "
+            "f=1933.887753 gradnorm 3.0e-4, LDL-proven indefinite "
+            "theta=-0.97 -> escaped; rank 4 solve reached the state "
+            "recorded here when the round's wall clock expired.  The "
+            "round-4 artifact falsely certified a rank-4 point with "
+            "f=1919.11; this row replaces it with the truthful "
+            "in-progress state.  Resume from "
+            "artifacts/tiers_checkpoint_r5.npz via tools/parity.py "
+            "--configs tiers"
         ),
     }
     rec.update(rep)
